@@ -1,0 +1,81 @@
+"""AL buffer objects (al/buffer.cpp).
+
+Buffers hold decoded float32 planar sample data: upload converts the app's
+interleaved typed samples (u8/i16/i32/f32/f64/mulaw/alaw/IMA4/MSADPCM) to
+planar f32 and stores them into the device sample pool, where voices gather
+from directly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.devformat import FmtChannels, FmtType, channels_from_fmt, decode_to_float32
+from .adpcm import decode_ima4, decode_msadpcm
+
+_FMT_CHANNELS = {
+    "mono": FmtChannels.MONO, "stereo": FmtChannels.STEREO,
+    "rear": FmtChannels.REAR, "quad": FmtChannels.QUAD,
+    "x51": FmtChannels.X51, "x61": FmtChannels.X61, "x71": FmtChannels.X71,
+    "bformat2d": FmtChannels.BFORMAT2D, "bformat3d": FmtChannels.BFORMAT3D,
+    "uhj2": FmtChannels.UHJ2, "uhj3": FmtChannels.UHJ3, "uhj4": FmtChannels.UHJ4,
+    "superstereo": FmtChannels.SUPER_STEREO,
+}
+
+
+class Buffer:
+    """One AL buffer: host copy of f32 planar data + its pool span."""
+
+    def __init__(self, bid: int, context) -> None:
+        self.id = bid
+        self.context = context
+        self.fmt_channels = FmtChannels.MONO
+        self.sample_rate = 0
+        self.sample_len = 0
+        self.channels = 1
+        self.ambi_order = 0
+        self.loop_start = 0
+        self.loop_end = 0
+        self.data: np.ndarray | None = None     # [channels, frames] f32
+        self.pool_offset = -1
+        self.refcount = 0
+
+    def set_data(self, data, channels: str | FmtChannels, sample_type: str | FmtType,
+                 sample_rate: int, *, ambi_order: int = 0,
+                 samples_per_block: int = 0) -> None:
+        """alBufferData (al/buffer.cpp:842): decode + upload to the pool."""
+        fmt = _FMT_CHANNELS[channels] if isinstance(channels, str) else channels
+        styp = FmtType(sample_type) if isinstance(sample_type, str) else sample_type
+        nch = channels_from_fmt(fmt, ambi_order)
+
+        if styp == FmtType.IMA4:
+            planar = decode_ima4(np.asarray(data, np.uint8), nch,
+                                 samples_per_block or 65)
+        elif styp == FmtType.MSADPCM:
+            planar = decode_msadpcm(np.asarray(data, np.uint8), nch,
+                                    samples_per_block or 64)
+        else:
+            arr = np.asarray(data)
+            flat = decode_to_float32(arr.ravel(), styp)
+            frames = flat.size // nch
+            planar = flat[: frames * nch].reshape(frames, nch).T.copy()
+
+        self.fmt_channels = fmt
+        self.sample_rate = int(sample_rate)
+        self.channels = nch
+        self.ambi_order = ambi_order
+        self.sample_len = planar.shape[1]
+        self.loop_start = 0
+        self.loop_end = self.sample_len
+        self.data = np.ascontiguousarray(planar, np.float32)
+
+        pool = self.context.device.pool
+        if self.pool_offset >= 0:
+            pool.free(self.pool_offset, self._pool_size)
+        self.pool_offset = pool.alloc(self.data)
+        self._pool_size = self.data.size
+
+    def set_loop_points(self, start: int, end: int) -> None:
+        if not (0 <= start < end <= self.sample_len):
+            raise ValueError("invalid loop points")
+        self.loop_start, self.loop_end = start, end

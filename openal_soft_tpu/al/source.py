@@ -1,0 +1,149 @@
+"""AL source objects (al/source.cpp).
+
+A source owns properties and a buffer queue; playing binds it to a voice
+(StartSources, al/source.cpp:2561-2728; InitVoice :639), whose mixing
+parameters are then maintained by the context update cycle.  Property writes
+mark the voice's props dirty — the batched analog of the reference's
+atomically-swapped VoiceProps updates.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..core.devformat import FmtChannels
+from ..core.voice import BufferItem, PlayState, Voice, VoiceProps
+from ..ops import tables
+from ..alc.context import Context, VChange, VoiceChange
+from .buffer import Buffer
+
+
+class SourceState:
+    INITIAL = "initial"
+    PLAYING = "playing"
+    PAUSED = "paused"
+    STOPPED = "stopped"
+
+
+class Source:
+    def __init__(self, sid: int, context: Context) -> None:
+        self.id = sid
+        self.context = context
+        self.props = VoiceProps()
+        self.queue: list[Buffer] = []
+        self.looping = False
+        self.state = SourceState.INITIAL
+        self.voice: Voice | None = None
+        self.offset = 0            # requested start offset in frames
+        self._props_dirty = True
+
+    # --- property access ---
+
+    def set(self, name: str, value) -> None:
+        setattr(self.props, name, value)
+        self._props_dirty = True
+        if self.voice is not None and self.voice.source_id == self.id:
+            self.voice.props = dataclasses.replace(self.props)
+            self.voice.props_dirty = True
+
+    def get(self, name: str):
+        return getattr(self.props, name)
+
+    def buffer(self, buf: Buffer | None) -> None:
+        """AL_BUFFER: set the static buffer (clears the queue)."""
+        self.queue = [buf] if buf is not None else []
+
+    def queue_buffers(self, *bufs: Buffer) -> None:
+        self.queue.extend(bufs)
+
+    # --- playback control ---
+
+    def play(self) -> None:
+        """alSourcePlay → StartSources (al/source.cpp:2561)."""
+        ctx = self.context
+        dev = ctx.device
+        if not self.queue or self.queue[0].sample_len == 0:
+            # No audio to play; sources with an empty queue go stopped.
+            self.state = SourceState.STOPPED
+            return
+
+        old_voice = None
+        if self.voice is not None and self.voice.source_id == self.id:
+            old_voice = self.voice
+
+        v = ctx.new_voice()
+        v.source_id = self.id
+        v.props = dataclasses.replace(self.props)
+        v.looping = self.looping
+        v.position = self.offset
+        v.position_frac = 0
+        v.state = PlayState.PENDING
+        v.is_fading = False
+        v.props_dirty = True
+
+        buf0 = self.queue[0]
+        v.fmt_channels = buf0.fmt_channels
+        v.frequency = buf0.sample_rate
+        v.ambi_order = buf0.ambi_order
+        v.queue = [BufferItem(pool_offset=b.pool_offset, sample_len=b.sample_len,
+                              loop_start=b.loop_start, loop_end=b.loop_end,
+                              channels=b.channels) for b in self.queue]
+        v.queue_index = 0
+
+        n_rows = self._num_rows(v, dev)
+        v.rows = dev.alloc_rows(n_rows)
+        dev.set_taps(tables.resampler_max_taps(self.props.resampler))
+
+        ctx.queue_change(VoiceChange(VChange.PLAY, v, old_voice, self.id))
+        self.voice = v
+        self.state = SourceState.PLAYING
+        ctx.sources[self.id] = self
+
+    def _num_rows(self, v: Voice, dev) -> int:
+        from ..core import panning
+
+        hrtf = dev.layout.mode == panning.RenderMode.HRTF
+        if v.fmt_channels == FmtChannels.MONO:
+            return 2 if (hrtf and self.props.panning_enabled) else 1
+        return v.num_mix_channels()
+
+    def stop(self) -> None:
+        if self.voice is not None and self.voice.source_id == self.id:
+            self.context.queue_change(VoiceChange(VChange.STOP, self.voice,
+                                                  source_id=self.id))
+        self.state = SourceState.STOPPED
+        self.offset = 0
+
+    def pause(self) -> None:
+        if self.state == SourceState.PLAYING and self.voice is not None:
+            self.context.queue_change(VoiceChange(VChange.PAUSE, self.voice,
+                                                  source_id=self.id))
+            self.state = SourceState.PAUSED
+
+    def rewind(self) -> None:
+        if self.voice is not None and self.voice.source_id == self.id:
+            self.context.queue_change(VoiceChange(VChange.RESET, self.voice,
+                                                  source_id=self.id))
+        self.state = SourceState.INITIAL
+        self.offset = 0
+
+    def voice_ended(self) -> None:
+        self.state = SourceState.STOPPED
+        self.voice = None
+
+    # --- offset queries (AL_SAMPLE_OFFSET etc.) ---
+
+    def sample_offset(self) -> int:
+        if self.voice is None or self.voice.source_id != self.id:
+            return 0
+        v = self.voice
+        # Whole-queue offset: add the lengths of completed queue items.
+        off = sum(item.sample_len for item in v.queue[:v.queue_index])
+        return off + v.position
+
+    def sec_offset(self) -> float:
+        if not self.queue:
+            return 0.0
+        return self.sample_offset() / float(self.queue[0].sample_rate)

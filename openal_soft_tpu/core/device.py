@@ -1,0 +1,344 @@
+"""The render device: SoA param table, device state, and the block graph.
+
+This is the TPU-native analog of DeviceBase + renderSamples (core/device.h,
+alc/alu.cpp:2395-2438).  Key inversion vs the reference: instead of a
+sequential `for voice in voices: Voice::mix(...)` loop feeding per-channel
+SIMD kernels, the whole voice population lives in one structure-of-arrays
+param table and a single jitted graph per device configuration renders a
+1024-sample block for every voice at once:
+
+    resample (gather) → biquad filters (scan) → gain-ramped mix (matmul)
+    → [HRTF FFT accumulate] → B-Format decode (matmul) → output
+
+Host↔device traffic per block is one param-table upload and one
+[T, channels] output download; all sample-domain state (filter z's, band
+splitter states, HRTF accumulator tail) is carried in a device-resident
+state pytree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import (
+    BUFFER_LINE_SIZE,
+    GAIN_FADE_SAMPLES,
+    MAX_AMBI_CHANNELS,
+    RESAMPLE_TAPS,
+)
+from ..ops import filters as f_ops
+from ..ops import mix as mix_ops
+from ..ops import resample as rs_ops
+from ..ops import tables
+from . import context as ctx_mod
+from . import panning
+from .devformat import DevFmtChannels, DevFmtType
+from .voice import PlayState, Voice
+
+f32 = np.float32
+
+
+class BufferPool:
+    """Device-resident sample pool with a host-side bump/free allocator.
+
+    Decoded float32 planar buffer data is uploaded once; voices gather from
+    it with affine index math (replacing the reference's per-block staging
+    copies in Voice::mix, core/voice.cpp:867-931).
+    """
+
+    def __init__(self, initial_capacity: int = 1 << 20) -> None:
+        self._host = np.zeros(initial_capacity, f32)
+        self._top = 8  # offset 0 reserved: silence guard
+        self._free: list[tuple[int, int]] = []
+        self._device: jax.Array | None = None
+        self._dirty = True
+
+    def alloc(self, data: np.ndarray) -> int:
+        n = data.size
+        for i, (off, sz) in enumerate(self._free):
+            if sz >= n:
+                self._free.pop(i)
+                if sz > n:
+                    self._free.append((off + n, sz - n))
+                self._host[off:off + n] = data.ravel()
+                self._dirty = True
+                return off
+        while self._top + n > self._host.size:
+            self._host = np.concatenate([self._host, np.zeros(self._host.size, f32)])
+        off = self._top
+        self._top += n
+        self._host[off:off + n] = data.ravel()
+        self._dirty = True
+        return off
+
+    def free(self, offset: int, size: int) -> None:
+        self._free.append((offset, size))
+
+    def device_array(self) -> jax.Array:
+        if self._dirty or self._device is None:
+            self._device = jnp.asarray(self._host)
+            self._dirty = False
+        return self._device
+
+
+@dataclasses.dataclass
+class ParamTable:
+    """SoA per-line mixing parameters (the atomically-swapped props of the
+    reference, batched).  One row = one voice mixing channel."""
+    capacity: int
+    n_dry: int
+    n_sends: int
+    n_wet: int
+
+    def __post_init__(self) -> None:
+        L = self.capacity
+        self.active = np.zeros(L, bool)
+        self.playing = np.zeros(L, bool)
+        self.fade = np.zeros(L, np.int32)
+        self.pos_int = np.zeros(L, np.int32)
+        self.pos_frac = np.zeros(L, np.int32)
+        self.increment = np.full(L, 1, np.int32)
+        self.bank_row = np.zeros(L, np.int32)
+        self.sf = np.zeros(L, f32)
+        self.src_off = np.zeros(L, np.int32)
+        self.src_len = np.zeros(L, np.int32)
+        self.loop_start = np.zeros(L, np.int32)
+        self.loop_end = np.full(L, 1, np.int32)
+        self.has_loop = np.zeros(L, bool)
+        self.has_wrapped = np.zeros(L, bool)
+        self.dry_cur = np.zeros((L, self.n_dry), f32)
+        self.dry_tgt = np.zeros((L, self.n_dry), f32)
+        self.filter_active = np.zeros(L, bool)
+        self.filter_coeffs = np.zeros((L, 2, 5), f32)
+        self.filter_target = np.zeros((L, 2, 5), f32)
+        self.filter_counter = np.zeros(L, np.int32)
+        # Identity biquads by default
+        self.filter_coeffs[:, :, 0] = 1.0
+        self.filter_target[:, :, 0] = 1.0
+        # HRTF rows (used when the device renders binaural)
+        self.hrtf_gain = np.zeros(L, f32)
+        self.hrtf_old_gain = np.zeros(L, f32)
+        self.hrtf_coeffs = np.zeros((L, 128, 2), f32)
+        self.hrtf_old_coeffs = np.zeros((L, 128, 2), f32)
+        self.hrtf_delay = np.zeros((L, 2), np.int32)
+        self.hrtf_old_delay = np.zeros((L, 2), np.int32)
+        # Wet sends: routing + gains
+        self.wet_slot = np.zeros((L, max(self.n_sends, 1)), np.int32)
+        self.wet_active = np.zeros((L, max(self.n_sends, 1)), bool)
+        self.wet_cur = np.zeros((L, max(self.n_sends, 1), self.n_wet), f32)
+        self.wet_tgt = np.zeros((L, max(self.n_sends, 1), self.n_wet), f32)
+        self.send_filter_active = np.zeros((L, max(self.n_sends, 1)), bool)
+        self.send_filter_coeffs = np.zeros((L, max(self.n_sends, 1), 2, 5), f32)
+        self.send_filter_target = np.zeros((L, max(self.n_sends, 1), 2, 5), f32)
+        self.send_filter_counter = np.zeros((L, max(self.n_sends, 1)), np.int32)
+        self.send_filter_coeffs[:, :, :, 0] = 1.0
+        self.send_filter_target[:, :, :, 0] = 1.0
+
+    _FIELDS = ("active", "playing", "fade", "pos_int", "pos_frac", "increment",
+               "bank_row", "sf", "src_off", "src_len", "loop_start", "loop_end",
+               "has_loop", "has_wrapped", "dry_cur", "dry_tgt", "filter_active", "filter_coeffs",
+               "filter_target", "filter_counter", "hrtf_gain", "hrtf_old_gain",
+               "hrtf_coeffs", "hrtf_old_coeffs", "hrtf_delay", "hrtf_old_delay",
+               "wet_slot", "wet_active", "wet_cur", "wet_tgt", "send_filter_active",
+               "send_filter_coeffs", "send_filter_target", "send_filter_counter")
+
+    def as_device_dict(self) -> dict:
+        out = {k: jnp.asarray(getattr(self, k)) for k in self._FIELDS}
+        # -1 marks never-initialized interp filters host-side; device sees 0.
+        out["filter_counter"] = jnp.maximum(out["filter_counter"], 0)
+        out["send_filter_counter"] = jnp.maximum(out["send_filter_counter"], 0)
+        return out
+
+    def clear_row(self, r: int) -> None:
+        self.active[r] = False
+        self.playing[r] = False
+        self.fade[r] = 0
+        self.dry_cur[r] = 0.0
+        self.dry_tgt[r] = 0.0
+        self.wet_cur[r] = 0.0
+        self.wet_tgt[r] = 0.0
+        self.filter_active[r] = False
+        self.filter_coeffs[r] = 0.0
+        self.filter_coeffs[r, :, 0] = 1.0
+        self.filter_target[r] = self.filter_coeffs[r]
+        self.filter_counter[r] = -1  # fresh filter: first update snaps (biquad.cpp:144-149)
+        self.send_filter_counter[r] = 0
+        self.hrtf_gain[r] = 0.0
+        self.hrtf_old_gain[r] = 0.0
+        self.hrtf_coeffs[r] = 0.0
+        self.hrtf_old_coeffs[r] = 0.0
+        self.hrtf_delay[r] = 0
+        self.hrtf_old_delay[r] = 0
+
+
+class RenderDevice:
+    """A playback device rendering through the batched TPU block graph."""
+
+    def __init__(self, sample_rate: int = 48000,
+                 fmt_channels: DevFmtChannels = DevFmtChannels.STEREO,
+                 fmt_type: DevFmtType = DevFmtType.FLOAT,
+                 *, capacity: int = 256, num_aux_sends: int = 2,
+                 render_mode: panning.RenderMode | None = None,
+                 hq_decode: bool = True,
+                 ambi_order: int = 1) -> None:
+        self.sample_rate = int(sample_rate)
+        self.fmt_channels = fmt_channels
+        self.fmt_type = fmt_type
+        self.capacity = capacity
+        self.num_aux_sends = num_aux_sends
+        self.hrtf_store = None
+
+        if render_mode is None:
+            # Default stereo output uses pairwise panning (panning.cpp:1420);
+            # other formats use normal speaker decode.
+            render_mode = (panning.RenderMode.PAIRWISE
+                           if fmt_channels == DevFmtChannels.STEREO
+                           else panning.RenderMode.NORMAL)
+        self.layout = panning.init_panning(
+            fmt_channels, self.sample_rate, hq_decode=hq_decode,
+            render_mode=render_mode, ambi_order=ambi_order)
+        self.n_dry = self.layout.n_dry
+        self.n_real = len(self.layout.real_channels) or self.n_dry
+
+        self.pool = BufferPool()
+        self.table = ParamTable(capacity, self.n_dry, num_aux_sends,
+                                MAX_AMBI_CHANNELS)
+        self._free_rows = list(range(capacity - 1, -1, -1))
+        self._bank = {k: jnp.asarray(v) for k, v in tables.weight_bank().items()}
+        self._taps = 4  # raised when voices use bsinc resamplers
+        self.contexts: list = []
+        self._state = self._init_state()
+        self._clock_samples = 0
+
+        # Effective decode matrices with -100 dB entries zeroed (MixSamples
+        # silence-skip, mixer_c.cpp:180-181).
+        def _thresh(m):
+            if m is None:
+                return None
+            out = m.copy()
+            out[np.abs(out) <= 1.0e-5] = 0.0
+            return jnp.asarray(out)
+
+        self._dec_hf = _thresh(self.layout.dec_hf)
+        self._dec_lf = _thresh(self.layout.dec_lf)
+        self._split_coeff = (f_ops.band_splitter_coeff(self.layout.xover_f0norm)
+                            if self._dec_lf is not None else None)
+
+    # --- row allocation ---
+
+    def alloc_rows(self, n: int) -> list[int]:
+        rows = [self._free_rows.pop() for _ in range(n)]
+        for r in rows:
+            self.table.clear_row(r)
+        return rows
+
+    def free_rows(self, rows: list[int]) -> None:
+        for r in rows:
+            self.table.clear_row(r)
+            self._free_rows.append(r)
+
+    def set_taps(self, taps: int) -> None:
+        self._taps = max(self._taps, taps)
+
+    # --- device state pytree ---
+
+    def _init_state(self) -> dict:
+        L = self.capacity
+        state = {
+            "filter_z": jnp.zeros((L, 2, 2), jnp.float32),
+        }
+        if self._uses_dual_band():
+            state["split_state"] = jnp.zeros((self.n_dry, 3), jnp.float32)
+        return state
+
+    def _uses_dual_band(self) -> bool:
+        return self.layout.dec_lf is not None
+
+    # --- the jitted block graph ---
+
+    @functools.partial(jax.jit, static_argnums=(0, 4))
+    def _render_block(self, state: dict, p: dict, pool: jax.Array, T: int):
+        taps = self._taps
+        x = rs_ops.resample_voices(
+            pool, p["src_off"], p["src_len"], p["loop_start"], p["loop_end"],
+            p["has_loop"], p["has_wrapped"], p["pos_int"], p["pos_frac"], p["increment"],
+            p["bank_row"], p["sf"], self._bank, T, taps)
+        x = jnp.where(p["active"][:, None], x, 0.0)
+
+        y, z2, _, _ = f_ops.biquad_dual_interp(
+            x, state["filter_z"], p["filter_coeffs"], p["filter_target"],
+            p["filter_counter"])
+        x_mix = jnp.where(p["filter_active"][:, None], y, x)
+        new_state = dict(state)
+        # Inactive filters are cleared each block (DoFilters, voice.cpp:254).
+        new_state["filter_z"] = jnp.where(p["filter_active"][:, None, None], z2, 0.0)
+
+        dry_tgt = jnp.where(p["playing"][:, None], p["dry_tgt"], 0.0)
+        fade = min(GAIN_FADE_SAMPLES, T)
+        dry, _ = mix_ops.mix_voices(x_mix, p["dry_cur"], dry_tgt, p["fade"], fade)
+
+        # Post-process: B-Format decode to real outputs.
+        if self._dec_lf is not None:
+            hp, lp, sp_state = f_ops.band_split(dry, state["split_state"],
+                                                self._split_coeff)
+            new_state["split_state"] = sp_state
+            out = (jnp.einsum("cd,dt->ct", self._dec_hf, hp,
+                              precision=jax.lax.Precision.HIGHEST)
+                   + jnp.einsum("cd,dt->ct", self._dec_lf, lp,
+                                precision=jax.lax.Precision.HIGHEST))
+        elif self._dec_hf is not None:
+            out = jnp.einsum("cd,dt->ct", self._dec_hf, dry,
+                             precision=jax.lax.Precision.HIGHEST)
+        else:
+            out = dry  # Ambi3D output: the dry bus is the output
+        return out, new_state
+
+    # --- the render loop ---
+
+    def render_samples(self, num_frames: int) -> np.ndarray:
+        """Render num_frames (alcRenderSamplesSOFT, alc/alc.cpp:3498).
+
+        Returns interleaved samples [num_frames, n_real] in the device
+        sample type.
+        """
+        out = np.empty((num_frames, self.n_real), f32)
+        done = 0
+        while done < num_frames:
+            todo = min(num_frames - done, BUFFER_LINE_SIZE)
+            out[done:done + todo] = self._render_one_block(todo)
+            done += todo
+        return self._convert_output(out)
+
+    def _render_one_block(self, T: int) -> np.ndarray:
+        for ctx in self.contexts:
+            ctx.process_updates()
+
+        p = self.table.as_device_dict()
+        block, self._state = self._render_block(self._state, p, self.pool.device_array(), T)
+        block = np.asarray(jax.device_get(block)).T  # [T, C]
+
+        for ctx in self.contexts:
+            ctx.finish_block(T)
+        self._clock_samples += T
+        return block[:T]
+
+    def _convert_output(self, x: np.ndarray) -> np.ndarray:
+        """Write<T> quantization (alc/alu.cpp:2320-2391)."""
+        if self.fmt_type == DevFmtType.FLOAT:
+            return x
+        if self.fmt_type == DevFmtType.SHORT:
+            return np.clip(np.rint(x * 32768.0), -32768, 32767).astype(np.int16)
+        if self.fmt_type == DevFmtType.UBYTE:
+            return (np.clip(np.rint(x * 128.0), -128, 127) + 128).astype(np.uint8)
+        if self.fmt_type == DevFmtType.BYTE:
+            return np.clip(np.rint(x * 128.0), -128, 127).astype(np.int8)
+        if self.fmt_type == DevFmtType.INT:
+            return np.clip(np.rint(x * 2147483648.0), -2147483648,
+                           2147483647).astype(np.int32)
+        raise NotImplementedError(self.fmt_type)

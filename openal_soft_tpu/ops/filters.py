@@ -1,0 +1,199 @@
+"""Batched IIR filters: biquads, band splitter.
+
+The reference applies 2nd-order IIRs per voice channel sequentially
+(core/filters/biquad.cpp TDF2 loop, core/filters/splitter.cpp).  Here the
+recurrences run as ``lax.scan`` over time with the full line population in
+the lanes — V-way parallel, sample-sequential — reproducing the reference's
+per-sample arithmetic exactly (including the 8-step / 32-samples-per-step
+coefficient interpolation schedule of BiquadInterpFilter).
+
+A faster chunked state-space formulation can swap in behind the same API
+later; the scan form is the semantic reference.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+f32 = jnp.float32
+
+INTERP_STEPS = 8
+SAMPLES_PER_STEP = 32
+INTERP_SAMPLES = INTERP_STEPS * SAMPLES_PER_STEP  # 256
+
+
+def biquad_dual_interp(x: jax.Array, z: jax.Array, coeffs: jax.Array,
+                       target: jax.Array, counter: jax.Array):
+    """Dual (chained lp+hp) interpolating biquad over a block.
+
+    Mirrors BiquadInterpFilter::dualProcess (biquad.cpp:284-343): both
+    filters share one interpolation counter; every 32 samples the current
+    coefficients lerp toward the targets with a = 1/(steps_left+1).
+
+    Args:
+      x: [L, T] input samples.
+      z: [L, 2, 2] filter states ([:, filter, (z1, z2)]).
+      coeffs: [L, 2, 5] current coefficients ([b0, b1, b2, a1, a2]).
+      target: [L, 2, 5] target coefficients.
+      counter: [L] int32 samples left in the interpolation (0 or 256 at block
+        boundaries; the schedule assumes counter % 32 == 0).
+    Returns: (y [L, T], z' [L, 2, 2], coeffs' [L, 2, 5], counter' [L]).
+    """
+    T = x.shape[1]
+
+    def seg_step(carry, xs_seg):
+        zc, cf, cnt = carry
+        # Process SAMPLES_PER_STEP samples with the current coefficients.
+        def sample_step(zin, xin):
+            z0, = (zin,)
+            y0 = xin * cf[:, 0, 0] + z0[:, 0, 0]
+            z01 = xin * cf[:, 0, 1] - y0 * cf[:, 0, 3] + z0[:, 0, 1]
+            z02 = xin * cf[:, 0, 2] - y0 * cf[:, 0, 4]
+            y1 = y0 * cf[:, 1, 0] + z0[:, 1, 0]
+            z11 = y0 * cf[:, 1, 1] - y1 * cf[:, 1, 3] + z0[:, 1, 1]
+            z12 = y0 * cf[:, 1, 2] - y1 * cf[:, 1, 4]
+            znew = jnp.stack([jnp.stack([z01, z02], -1),
+                              jnp.stack([z11, z12], -1)], 1)
+            return znew, y1
+
+        zc, ys = jax.lax.scan(sample_step, zc, xs_seg)
+
+        # End-of-segment coefficient update (biquad.cpp:310-331).
+        cnt2 = jnp.maximum(cnt - SAMPLES_PER_STEP, 0)
+        steps_left = cnt2 // SAMPLES_PER_STEP
+        a = 1.0 / (steps_left.astype(f32) + 1.0)
+        lerped = cf + (target - cf) * a[:, None, None]
+        was_active = (cnt > 0)[:, None, None]
+        done = (cnt2 == 0)[:, None, None]
+        cf = jnp.where(was_active, jnp.where(done, target, lerped), cf)
+        return (zc, cf, cnt2), ys
+
+    nseg = (T + SAMPLES_PER_STEP - 1) // SAMPLES_PER_STEP
+    pad = nseg * SAMPLES_PER_STEP - T
+    xs = jnp.pad(x, ((0, 0), (0, pad))).T.reshape(nseg, SAMPLES_PER_STEP, -1)
+    (z, coeffs, counter), ys = jax.lax.scan(seg_step, (z, coeffs, counter), xs)
+    y = ys.reshape(nseg * SAMPLES_PER_STEP, -1)[:T].T
+    return y, z, coeffs, counter
+
+
+def host_advance_interp(coeffs, target, counter, n: int):
+    """Host-side mirror of the device coefficient schedule after ``n`` samples.
+
+    numpy f32 arrays, same lerp order as the device; lets the host avoid a
+    device→host readback of filter coefficients between blocks.
+    """
+    import numpy as np
+
+    coeffs = coeffs.copy()
+    counter = counter.copy()
+    for _ in range(n // SAMPLES_PER_STEP):
+        active = counter > 0
+        counter = np.where(active, counter - SAMPLES_PER_STEP, 0)
+        steps_left = counter // SAMPLES_PER_STEP
+        a = (1.0 / (steps_left + 1.0)).astype(np.float32)
+        lerped = (coeffs + (target - coeffs) * a[:, None, None]).astype(np.float32)
+        coeffs = np.where(active[:, None, None],
+                          np.where((counter == 0)[:, None, None], target, lerped), coeffs)
+    return coeffs, counter
+
+
+# --- Band splitter (core/filters/splitter.cpp) -------------------------------
+
+
+def band_splitter_coeff(f0norm) -> jax.Array:
+    """BandSplitter::init coefficient from the normalized crossover."""
+    import numpy as np
+
+    w = np.float32(2.0 * np.pi) * np.float32(min(float(f0norm), 0.49))
+    cw = np.float32(np.cos(w))
+    if cw > np.finfo(np.float32).eps:
+        return np.float32((np.float32(np.sin(w)) - np.float32(1.0)) / cw)
+    return np.float32(cw * np.float32(-0.5))
+
+
+def band_split(x: jax.Array, state: jax.Array, coeff: jax.Array):
+    """Split into (hp, lp) bands; state [L, 3] = (lp_z1, lp_z2, ap_z1)."""
+    ap = coeff
+    lp = coeff * 0.5 + 0.5
+
+    def step(st, xin):
+        lp_z1, lp_z2, ap_z1 = st[:, 0], st[:, 1], st[:, 2]
+        d0 = (xin - lp_z1) * lp
+        lp_y0 = lp_z1 + d0
+        lp_z1 = lp_y0 + d0
+        d1 = (lp_y0 - lp_z2) * lp
+        lp_y1 = lp_z2 + d1
+        lp_z2 = lp_y1 + d1
+        ap_y = xin * ap + ap_z1
+        ap_z1 = xin - ap_y * ap
+        hp = ap_y - lp_y1
+        return jnp.stack([lp_z1, lp_z2, ap_z1], -1), (hp, lp_y1)
+
+    state, (hps, lps) = jax.lax.scan(step, state, x.T)
+    return hps.T, lps.T, state
+
+
+def band_split_hf_scale(x: jax.Array, state: jax.Array, coeff: jax.Array,
+                        hfscale: jax.Array, variant_3arg: bool = False):
+    """processHfScale: scale the high band, keep the low band.
+
+    ``variant_3arg`` reproduces the out-of-place variant's state update
+    (splitter.cpp:79 uses ``lp_z1 = lp_y0 + d0*lp_coeff``) which differs
+    from the in-place variant (``lp_z1 = lp_y0 + d0``, splitter.cpp:113).
+    """
+    ap = coeff
+    lp = coeff * 0.5 + 0.5
+
+    def step(st, inputs):
+        xin, hfs = inputs
+        lp_z1, lp_z2, ap_z1 = st[:, 0], st[:, 1], st[:, 2]
+        d0 = (xin - lp_z1) * lp
+        lp_y0 = lp_z1 + d0
+        lp_z1 = lp_y0 + (d0 * lp if variant_3arg else d0)
+        d1 = (lp_y0 - lp_z2) * lp
+        lp_y1 = lp_z2 + d1
+        lp_z2 = lp_y1 + d1
+        ap_y = xin * ap + ap_z1
+        ap_z1 = xin - ap_y * ap
+        y = (ap_y - lp_y1) * hfs + lp_y1
+        return jnp.stack([lp_z1, lp_z2, ap_z1], -1), y
+
+    hf_t = jnp.broadcast_to(hfscale, x.shape[:1] + (x.shape[1],)).T \
+        if jnp.ndim(hfscale) <= 1 else hfscale.T
+    state, ys = jax.lax.scan(step, state, (x.T, hf_t))
+    return ys.T, state
+
+
+def band_split_scale(x: jax.Array, state: jax.Array, coeff: jax.Array,
+                     hfscale: jax.Array, lfscale: jax.Array):
+    """processScale: separate high/low band gains (ambisonic up-order mix)."""
+    ap = coeff
+    lp = coeff * 0.5 + 0.5
+
+    def step(st, xin):
+        lp_z1, lp_z2, ap_z1 = st[:, 0], st[:, 1], st[:, 2]
+        d0 = (xin - lp_z1) * lp
+        lp_y0 = lp_z1 + d0
+        lp_z1 = lp_y0 + d0
+        d1 = (lp_y0 - lp_z2) * lp
+        lp_y1 = lp_z2 + d1
+        lp_z2 = lp_y1 + d1
+        ap_y = xin * ap + ap_z1
+        ap_z1 = xin - ap_y * ap
+        y = (ap_y - lp_y1) * hfscale + lp_y1 * lfscale
+        return jnp.stack([lp_z1, lp_z2, ap_z1], -1), y
+
+    state, ys = jax.lax.scan(step, state, x.T)
+    return ys.T, state
+
+
+def all_pass(x: jax.Array, z1: jax.Array, coeff: jax.Array):
+    """processAllPass: phase-matching all-pass; z1 [L]."""
+    def step(z, xin):
+        y = xin * coeff + z
+        z = xin - y * coeff
+        return z, y
+
+    z1, ys = jax.lax.scan(step, z1, x.T)
+    return ys.T, z1

@@ -50,15 +50,26 @@ def positions(pos_frac: jax.Array, increment: jax.Array, n: int):
 
 
 def resolve_source_index(s: jax.Array, loop_start: jax.Array, loop_end: jax.Array,
-                         has_loop: jax.Array, src_len: jax.Array):
+                         has_loop: jax.Array, has_wrapped: jax.Array,
+                         src_len: jax.Array):
     """Map source-frame index to a readable frame, with validity mask.
 
     Loop wrap per LoadBufferStatic (voice.cpp:509-529); non-looping sources
     clamp to the final frame (the `lastSample` fill, voice.cpp:493-505);
     negative positions (delayed starts) are silent (voice.cpp:847-864).
+
+    ``has_wrapped`` marks voices whose play position already wrapped at least
+    once: their resampler history (window taps before the block position,
+    the reference's mPrevSamples carry) must wrap *backwards* into the loop
+    for indices below loop_start, preserving played-stream continuity across
+    the loop seam.
     """
     loop_len = jnp.maximum(loop_end - loop_start, 1)
-    wrapped = jnp.where(s >= loop_end[:, None],
+    in_wrap = (s >= loop_end[:, None]) | (has_wrapped[:, None] & (s < loop_start[:, None]))
+    # jnp.mod yields a non-negative result for positive divisors, so the same
+    # formula maps both forward (s >= loop_end) and backward (s < loop_start)
+    # positions into the loop region.
+    wrapped = jnp.where(in_wrap,
                         (s - loop_start[:, None]) % loop_len[:, None] + loop_start[:, None], s)
     clamped = jnp.where(has_loop[:, None], wrapped,
                         jnp.minimum(s, jnp.maximum(src_len[:, None] - 1, 0)))
@@ -84,6 +95,7 @@ def voice_weights(bank: dict, bank_row: jax.Array, sf: jax.Array, taps: int):
 
 def resample_voices(pool: jax.Array, src_off: jax.Array, src_len: jax.Array,
                     loop_start: jax.Array, loop_end: jax.Array, has_loop: jax.Array,
+                    has_wrapped: jax.Array,
                     pos_int: jax.Array, pos_frac: jax.Array, increment: jax.Array,
                     bank_row: jax.Array, sf: jax.Array, bank: dict,
                     n: int, taps: int) -> jax.Array:
@@ -111,7 +123,8 @@ def resample_voices(pool: jax.Array, src_off: jax.Array, src_len: jax.Array,
     center = taps // 2 - 1
     for j in range(taps):
         s = pos + (j - center)
-        idx, valid = resolve_source_index(s, loop_start, loop_end, has_loop, src_len)
+        idx, valid = resolve_source_index(s, loop_start, loop_end, has_loop,
+                                          has_wrapped, src_len)
         v = jnp.take(pool, src_off[:, None] + idx, mode="clip")
         v = jnp.where(valid, v, 0.0)
         w = jnp.take_along_axis(w0[:, :, j], pi, axis=1) \

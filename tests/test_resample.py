@@ -30,6 +30,7 @@ def _run_device(src, pos_int, frac, inc, resampler, n, taps):
         loop_start=jnp.array([0], jnp.int32),
         loop_end=jnp.array([len(src)], jnp.int32),
         has_loop=jnp.array([False]),
+        has_wrapped=jnp.array([False]),
         pos_int=jnp.array([pos_int], jnp.int32),
         pos_frac=jnp.array([frac], jnp.int32),
         increment=jnp.array([inc], jnp.int32),
@@ -108,6 +109,7 @@ def test_loop_wrap():
         loop_start=jnp.array([loop_start], jnp.int32),
         loop_end=jnp.array([loop_end], jnp.int32),
         has_loop=jnp.array([True]),
+        has_wrapped=jnp.array([False]),
         pos_int=jnp.array([50], jnp.int32),
         pos_frac=jnp.array([0], jnp.int32),
         increment=jnp.array([inc], jnp.int32),
@@ -136,6 +138,7 @@ def test_end_clamp_and_silence():
         loop_start=jnp.array([0], jnp.int32),
         loop_end=jnp.array([40], jnp.int32),
         has_loop=jnp.array([False]),
+        has_wrapped=jnp.array([False]),
         pos_int=jnp.array([-8], jnp.int32),
         pos_frac=jnp.array([0], jnp.int32),
         increment=jnp.array([MIXER_FRAC_ONE], jnp.int32),
