@@ -1,0 +1,74 @@
+"""Benchmark: audio-seconds rendered per second per chip.
+
+Renders a large population of concurrent voices through the batched block
+graph on the real device and reports throughput as a multiple of realtime,
+plus p99 block latency.  Prints ONE json line.
+
+Baseline context: the reference publishes no benchmark numbers
+(BASELINE.md); the comparison basis is the north-star target of >=100x
+realtime at 4096 HRTF voices on one chip.  vs_baseline is reported against
+1.0x realtime (what a correct realtime renderer must sustain).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+
+    from openal_soft_tpu.alc.device import LoopbackDevice
+
+    n_voices = 512
+    sample_rate = 48000
+    block = 1024
+    n_blocks = 200
+
+    dev = LoopbackDevice(frequency=sample_rate, channels="stereo",
+                         sample_type="float32", capacity=n_voices)
+    ctx = dev.create_context()
+    rng = np.random.default_rng(42)
+    t = np.arange(sample_rate) / sample_rate
+    tone_cache = {}
+    for i in range(n_voices):
+        fi = i % 48
+        if fi not in tone_cache:
+            freq = 110.0 * (2.0 ** (fi / 12.0))
+            tone_cache[fi] = (0.1 * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+        buf = ctx.create_buffer()
+        buf.set_data(tone_cache[fi], "mono", "float32", sample_rate)
+        src = ctx.create_source()
+        src.buffer(buf)
+        src.looping = True
+        src.set("position", tuple(rng.standard_normal(3) * 3.0))
+        src.play()
+
+    # Warm up (compile)
+    dev.render_samples(block)
+
+    times = []
+    for _ in range(n_blocks):
+        t0 = time.perf_counter()
+        dev.render_samples(block)
+        times.append(time.perf_counter() - t0)
+
+    times = np.array(times)
+    audio_sec = block / sample_rate
+    xrealtime = audio_sec / np.median(times)
+    p99_ms = float(np.percentile(times, 99) * 1e3)
+
+    print(json.dumps({
+        "metric": f"audio-sec/sec/chip ({n_voices} voices, {sample_rate} Hz, "
+                  f"{block}-frame blocks; p99 block {p99_ms:.2f} ms)",
+        "value": round(float(xrealtime), 2),
+        "unit": "x realtime",
+        "vs_baseline": round(float(xrealtime), 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
