@@ -119,6 +119,15 @@ def resample_voices(pool: jax.Array, src_off: jax.Array, src_len: jax.Array,
 
     w0, wd = voice_weights(bank, bank_row, sf, taps)
 
+    # Phase-table lookup as a one-hot MXU contraction over the 32 phases:
+    # TPU-native replacement for a per-sample table gather (exact — a one-hot
+    # f32 dot selects the weight without rounding).
+    onehot = jax.nn.one_hot(pi, CUBIC_PHASE_COUNT, dtype=jnp.float32)  # [V,n,32]
+    w0_t = jnp.einsum("vtp,vpj->vtj", onehot, w0,
+                      precision=jax.lax.Precision.HIGHEST)
+    wd_t = jnp.einsum("vtp,vpj->vtj", onehot, wd,
+                      precision=jax.lax.Precision.HIGHEST)
+
     out = jnp.zeros(pos.shape, dtype=jnp.float32)
     center = taps // 2 - 1
     for j in range(taps):
@@ -127,8 +136,7 @@ def resample_voices(pool: jax.Array, src_off: jax.Array, src_len: jax.Array,
                                           has_wrapped, src_len)
         v = jnp.take(pool, src_off[:, None] + idx, mode="clip")
         v = jnp.where(valid, v, 0.0)
-        w = jnp.take_along_axis(w0[:, :, j], pi, axis=1) \
-            + pf * jnp.take_along_axis(wd[:, :, j], pi, axis=1)
+        w = w0_t[:, :, j] + pf * wd_t[:, :, j]
         out = out + w * v
     return out
 
