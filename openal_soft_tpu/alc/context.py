@@ -112,10 +112,45 @@ class Context:
                     and v.state in (PlayState.PLAYING, PlayState.STOPPING):
                 self._update_voice_params(v)
                 v.props_dirty = False
+                self.device.mark_config_dirty()
         self._pack_block_fields(block_len)
+
+    def event_horizon_blocks(self, T: int) -> int:
+        """Blocks until the next host-visible event (voice end, queue item
+        transition, first loop wrap, stop fade).  Within this horizon the
+        per-block parameter update pass is a no-op, so the device can run
+        multiple blocks per dispatch."""
+        horizon = 1 << 30
+        for v in self.voices:
+            if not v.rows:
+                continue
+            if v.state == PlayState.STOPPING:
+                return 1
+            if v.state != PlayState.PLAYING:
+                continue
+            buf = v.current_buffer()
+            if buf is None or buf.callback is not None:
+                return 1
+            per_block = v.step * T
+            if per_block <= 0:
+                continue
+            if v.is_static and v.looping and buf.loop_end > buf.loop_start:
+                if v.has_wrapped:
+                    # Monotone positions within a chunk: bound by int32 range.
+                    limit_frac = (1 << 30)
+                else:
+                    limit_frac = (buf.loop_end << 16)
+            else:
+                limit_frac = (buf.sample_len << 16)
+            cur = (v.position << 16) + v.position_frac
+            n = (limit_frac - cur) // per_block  # blocks fully before limit
+            horizon = min(horizon, max(int(n), 1))
+        return max(horizon, 1)
 
     def _process_voice_changes(self) -> None:
         """ProcessVoiceChanges (alu.cpp:2051-2145)."""
+        if self.voice_changes:
+            self.device.mark_config_dirty()
         for ch in self.voice_changes:
             if ch.kind in (VChange.RESET, VChange.STOP):
                 v = ch.voice
@@ -177,6 +212,10 @@ class Context:
                 t.hrtf_coeffs[r] = mp.hrtf_coeffs[c]
                 t.hrtf_delay[r] = mp.hrtf_delay[c]
                 t.hrtf_gain[r] = mp.hrtf_gain[c]
+                if not v.is_fading:
+                    t.hrtf_old_gain[r] = mp.hrtf_gain[c]
+                    t.hrtf_old_coeffs[r] = mp.hrtf_coeffs[c]
+                    t.hrtf_old_delay[r] = mp.hrtf_delay[c]
             self._set_filter_target(t, r, np.stack([mp.lp_coeffs, mp.hp_coeffs]))
             t.filter_active[r] = mp.filter_active
 
@@ -196,7 +235,7 @@ class Context:
             t.filter_coeffs[r] = new_target
 
     def _pack_block_fields(self, block_len: int) -> None:
-        """Per-block row refresh: positions, fade counters, play state."""
+        """Per-dispatch row refresh: positions, fade counters, play state."""
         t = self.device.table
         fade = min(GAIN_FADE_SAMPLES, block_len)
         for v in self.voices:
@@ -205,6 +244,8 @@ class Context:
             playing = v.state == PlayState.PLAYING
             buf = v.current_buffer()
             for r in v.rows:
+                if not t.active[r] or t.playing[r] != playing:
+                    self.device.mark_config_dirty()
                 t.active[r] = True
                 t.playing[r] = playing
                 t.fade[r] = fade if v.is_fading else 0
@@ -214,6 +255,8 @@ class Context:
                 self._pack_source(v, buf)
             else:
                 for r in v.rows:
+                    if t.src_len[r] != 0:
+                        self.device.mark_config_dirty()
                     t.src_len[r] = 0  # silence
 
     def _pack_source(self, v: Voice, buf) -> None:
@@ -221,16 +264,22 @@ class Context:
         looping = v.looping and v.is_static and v.position < buf.loop_end
         for c, r in enumerate(v.rows):
             chan = min(c, buf.channels - 1)
-            t.src_off[r] = buf.pool_offset + chan * buf.sample_len
+            src_off = buf.pool_offset + chan * buf.sample_len
+            if (t.src_off[r] != src_off or t.src_len[r] != buf.sample_len
+                    or t.has_loop[r] != looping
+                    or t.has_wrapped[r] != v.has_wrapped):
+                self.device.mark_config_dirty()
+            t.src_off[r] = src_off
             t.src_len[r] = buf.sample_len
             t.loop_start[r] = buf.loop_start
             t.loop_end[r] = max(buf.loop_end, buf.loop_start + 1)
             t.has_loop[r] = looping
             t.has_wrapped[r] = v.has_wrapped
 
-    def finish_block(self, T: int) -> None:
-        """Deterministic post-block state evolution (host mirror)."""
+    def finish_chunk(self, T: int, n_blocks: int = 1) -> None:
+        """Deterministic post-dispatch state evolution (host mirror)."""
         t = self.device.table
+        frames = T * n_blocks
         for v in self.voices:
             if not v.rows:
                 continue
@@ -242,7 +291,7 @@ class Context:
                 continue
             if v.state != PlayState.PLAYING:
                 continue
-            # Gain ramps complete within the block: Current ← Target.
+            # Gain ramps complete within the first block: Current ← Target.
             for r in v.rows:
                 t.dry_cur[r] = t.dry_tgt[r] if t.playing[r] else 0.0
                 t.wet_cur[r] = t.wet_tgt[r] if t.playing[r] else 0.0
@@ -250,21 +299,24 @@ class Context:
                 t.hrtf_old_coeffs[r] = t.hrtf_coeffs[r]
                 t.hrtf_old_delay[r] = t.hrtf_delay[r]
             rows = np.array(v.rows)
+            # The interp schedule completes within 256 samples; cap the loop.
             cf, cnt = f_ops.host_advance_interp(
                 t.filter_coeffs[rows], t.filter_target[rows],
-                np.maximum(t.filter_counter[rows], 0), T)
+                np.maximum(t.filter_counter[rows], 0),
+                min(frames, f_ops.INTERP_SAMPLES))
             keep = t.filter_counter[rows] >= 0
             t.filter_coeffs[rows[keep]] = cf[keep]
             t.filter_counter[rows[keep]] = cnt[keep]
 
             v.is_fading = True
             # Position advance (voice.cpp:1086-1089)
-            total = v.position_frac + v.step * T
+            total = v.position_frac + v.step * frames
             samples_done = total >> MIXER_FRAC_BITS
             v.position_frac = total & MIXER_FRAC_MASK
             buffers_done, ended = v.advance(samples_done)
             if buffers_done:
                 self.events.append(("buffer_completed", v.source_id, buffers_done))
+                self.device.mark_config_dirty()
             if ended:
                 v.state = PlayState.STOPPING
                 self.events.append(("source_state", v.source_id, "stop"))
@@ -272,3 +324,8 @@ class Context:
                 if src is not None:
                     src.voice_ended()
                 v.source_id = 0
+                self.device.mark_config_dirty()
+
+    # Backwards-compatible alias (single block).
+    def finish_block(self, T: int) -> None:
+        self.finish_chunk(T, 1)

@@ -33,10 +33,12 @@ from ..constants import (
     RESAMPLE_TAPS,
 )
 from ..ops import filters as f_ops
+from ..ops import hrtf_mix
 from ..ops import mix as mix_ops
 from ..ops import resample as rs_ops
 from ..ops import tables
 from . import context as ctx_mod
+from . import hrtf as hrtf_mod
 from . import panning
 from .devformat import DevFmtChannels, DevFmtType
 from .voice import PlayState, Voice
@@ -140,20 +142,30 @@ class ParamTable:
         self.send_filter_coeffs[:, :, :, 0] = 1.0
         self.send_filter_target[:, :, :, 0] = 1.0
 
-    _FIELDS = ("active", "playing", "fade", "pos_int", "pos_frac", "increment",
-               "bank_row", "sf", "src_off", "src_len", "loop_start", "loop_end",
-               "has_loop", "has_wrapped", "dry_cur", "dry_tgt", "filter_active", "filter_coeffs",
-               "filter_target", "filter_counter", "hrtf_gain", "hrtf_old_gain",
-               "hrtf_coeffs", "hrtf_old_coeffs", "hrtf_delay", "hrtf_old_delay",
-               "wet_slot", "wet_active", "wet_cur", "wet_tgt", "send_filter_active",
-               "send_filter_coeffs", "send_filter_target", "send_filter_counter")
+    # Fields that evolve deterministically on-device within a dispatch
+    # (positions advance, gain ramps complete, filter coefficients interp,
+    # fades expire); the host mirrors their end state with identical integer/
+    # f32 math, so they upload once per dispatch — not per block.
+    _EVOLVING = ("pos_int", "pos_frac", "fade", "dry_cur", "filter_coeffs",
+                 "filter_counter")
+    # Configuration fields: change only on voice/param events.
+    _CONFIG = ("active", "playing", "increment", "bank_row", "sf", "src_off",
+               "src_len", "loop_start", "loop_end", "has_loop", "has_wrapped",
+               "dry_tgt", "filter_active", "filter_target", "hrtf_gain",
+               "hrtf_old_gain", "hrtf_coeffs", "hrtf_old_coeffs", "hrtf_delay",
+               "hrtf_old_delay", "wet_slot", "wet_active", "wet_cur", "wet_tgt",
+               "send_filter_active", "send_filter_coeffs", "send_filter_target",
+               "send_filter_counter")
+    _FIELDS = _EVOLVING + _CONFIG
 
-    def as_device_dict(self) -> dict:
-        out = {k: jnp.asarray(getattr(self, k)) for k in self._FIELDS}
+    def evolving_dict(self) -> dict:
+        out = {k: jnp.asarray(getattr(self, k)) for k in self._EVOLVING}
         # -1 marks never-initialized interp filters host-side; device sees 0.
         out["filter_counter"] = jnp.maximum(out["filter_counter"], 0)
-        out["send_filter_counter"] = jnp.maximum(out["send_filter_counter"], 0)
         return out
+
+    def config_dict(self) -> dict:
+        return {k: jnp.asarray(getattr(self, k)) for k in self._CONFIG}
 
     def clear_row(self, r: int) -> None:
         self.active[r] = False
@@ -186,7 +198,8 @@ class RenderDevice:
                  *, capacity: int = 256, num_aux_sends: int = 2,
                  render_mode: panning.RenderMode | None = None,
                  hq_decode: bool = True,
-                 ambi_order: int = 1) -> None:
+                 ambi_order: int = 1,
+                 hrtf_path: str | None = None) -> None:
         self.sample_rate = int(sample_rate)
         self.fmt_channels = fmt_channels
         self.fmt_type = fmt_type
@@ -200,11 +213,28 @@ class RenderDevice:
             render_mode = (panning.RenderMode.PAIRWISE
                            if fmt_channels == DevFmtChannels.STEREO
                            else panning.RenderMode.NORMAL)
+        if render_mode == panning.RenderMode.HRTF:
+            # InitHrtfPanning (panning.cpp:846-1138): full HRTF render mode
+            # uses a 1st-order ambi dry bus at a 700 Hz crossover.
+            ambi_order = 1
         self.layout = panning.init_panning(
             fmt_channels, self.sample_rate, hq_decode=hq_decode,
-            render_mode=render_mode, ambi_order=ambi_order)
+            render_mode=render_mode, ambi_order=ambi_order,
+            xover_freq=700.0 if render_mode == panning.RenderMode.HRTF else 400.0)
         self.n_dry = self.layout.n_dry
         self.n_real = len(self.layout.real_channels) or self.n_dry
+
+        if render_mode == panning.RenderMode.HRTF:
+            path = hrtf_path or hrtf_mod.default_hrtf_path()
+            self.hrtf_store = (hrtf_mod.load_mhr(path) if path
+                               else hrtf_mod.make_synthetic_hrtf(self.sample_rate))
+            self.ir_size = self.hrtf_store.ir_size
+            self._direct_hrtf = hrtf_mod.build_direct_hrtf(
+                self.hrtf_store, self.ir_size, ambi_order)
+            self._direct_coeffs = jnp.asarray(self._direct_hrtf.coeffs)
+            self._direct_hf_scales = jnp.asarray(self._direct_hrtf.hf_scales)
+            self._hrtf_split_coeff = f_ops.band_splitter_coeff(
+                700.0 / self.sample_rate)
 
         self.pool = BufferPool()
         self.table = ParamTable(capacity, self.n_dry, num_aux_sends,
@@ -212,6 +242,8 @@ class RenderDevice:
         self._free_rows = list(range(capacity - 1, -1, -1))
         self._bank = {k: jnp.asarray(v) for k, v in tables.weight_bank().items()}
         self._taps = 4  # raised when voices use bsinc resamplers
+        self._cfg_dev = None
+        self._pending_resets = set()
         self.contexts: list = []
         self._state = self._init_state()
         self._clock_samples = 0
@@ -236,12 +268,15 @@ class RenderDevice:
         rows = [self._free_rows.pop() for _ in range(n)]
         for r in rows:
             self.table.clear_row(r)
+        self._pending_resets.update(rows)
+        self._cfg_dev = None
         return rows
 
     def free_rows(self, rows: list[int]) -> None:
         for r in rows:
             self.table.clear_row(r)
             self._free_rows.append(r)
+        self._cfg_dev = None
 
     def set_taps(self, taps: int) -> None:
         self._taps = max(self._taps, taps)
@@ -255,6 +290,10 @@ class RenderDevice:
         }
         if self._uses_dual_band():
             state["split_state"] = jnp.zeros((self.n_dry, 3), jnp.float32)
+        if self.layout.mode == panning.RenderMode.HRTF:
+            state["hrtf_history"] = jnp.zeros((L, hrtf_mix.HIST), jnp.float32)
+            state["hrtf_tail"] = jnp.zeros((128, 2), jnp.float32)
+            state["direct_split"] = jnp.zeros((self.n_dry, 3), jnp.float32)
         return state
 
     def _uses_dual_band(self) -> bool:
@@ -262,26 +301,68 @@ class RenderDevice:
 
     # --- the jitted block graph ---
 
-    @functools.partial(jax.jit, static_argnums=(0, 4))
-    def _render_block(self, state: dict, p: dict, pool: jax.Array, T: int):
-        taps = self._taps
-        x = rs_ops.resample_voices(
-            pool, p["src_off"], p["src_len"], p["loop_start"], p["loop_end"],
-            p["has_loop"], p["has_wrapped"], p["pos_int"], p["pos_frac"], p["increment"],
-            p["bank_row"], p["sf"], self._bank, T, taps)
-        x = jnp.where(p["active"][:, None], x, 0.0)
+    def _render_one(self, state: dict, ev: dict, cfg: dict, pool: jax.Array,
+                    T: int, taps: int):
+        """One block: returns (out [C,T], state', ev').
 
-        y, z2, _, _ = f_ops.biquad_dual_interp(
-            x, state["filter_z"], p["filter_coeffs"], p["filter_target"],
-            p["filter_counter"])
-        x_mix = jnp.where(p["filter_active"][:, None], y, x)
+        Evolving fields advance exactly as the host mirrors them: positions
+        by the fixed-point step, current gains to targets, filter coeffs per
+        the interp schedule, the fade counter to zero (with Current==Target
+        the continued 64-sample "fade" of the reference is the identity)."""
+        x = rs_ops.resample_voices(
+            pool, cfg["src_off"], cfg["src_len"], cfg["loop_start"],
+            cfg["loop_end"], cfg["has_loop"], cfg["has_wrapped"],
+            ev["pos_int"], ev["pos_frac"], cfg["increment"],
+            cfg["bank_row"], cfg["sf"], self._bank, T, taps)
+        x = jnp.where(cfg["active"][:, None], x, 0.0)
+
+        y, z2, cf2, cnt2 = f_ops.biquad_dual_interp(
+            x, state["filter_z"], ev["filter_coeffs"], cfg["filter_target"],
+            ev["filter_counter"])
+        x_mix = jnp.where(cfg["filter_active"][:, None], y, x)
         new_state = dict(state)
         # Inactive filters are cleared each block (DoFilters, voice.cpp:254).
-        new_state["filter_z"] = jnp.where(p["filter_active"][:, None, None], z2, 0.0)
+        fa = cfg["filter_active"]
+        new_state["filter_z"] = jnp.where(fa[:, None, None], z2, 0.0)
 
-        dry_tgt = jnp.where(p["playing"][:, None], p["dry_tgt"], 0.0)
+        new_ev = dict(ev)
+        pi2, pf2 = rs_ops.advance_positions(ev["pos_int"], ev["pos_frac"],
+                                            cfg["increment"],
+                                            jnp.int32(T))
+        new_ev["pos_int"], new_ev["pos_frac"] = pi2, pf2
+        new_ev["filter_coeffs"] = jnp.where(fa[:, None, None], cf2,
+                                            cfg["filter_target"])
+        new_ev["filter_counter"] = jnp.where(fa, cnt2, 0)
+        new_ev["fade"] = jnp.zeros_like(ev["fade"])
+
+        dry_tgt = jnp.where(cfg["playing"][:, None], cfg["dry_tgt"], 0.0)
         fade = min(GAIN_FADE_SAMPLES, T)
-        dry, _ = mix_ops.mix_voices(x_mix, p["dry_cur"], dry_tgt, p["fade"], fade)
+        dry, dry_cur2 = mix_ops.mix_voices(x_mix, ev["dry_cur"], dry_tgt,
+                                           ev["fade"], fade)
+        new_ev["dry_cur"] = dry_cur2
+
+        if self.layout.mode == panning.RenderMode.HRTF:
+            # Voice HRIR convolutions + direct B-Format→binaural decode, all
+            # in one frequency-domain accumulation (ops/hrtf_mix.py).
+            nfft = hrtf_mix.fft_size(T)
+            x_cat = jnp.concatenate([state["hrtf_history"], x_mix], axis=1)
+            new_state["hrtf_history"] = x_cat[:, T:]
+            g_eff = jnp.where(cfg["playing"], cfg["hrtf_gain"], 0.0)
+            accum_f = hrtf_mix.hrtf_voices_accum_f(
+                x_cat, cfg["hrtf_coeffs"], cfg["hrtf_delay"], g_eff,
+                cfg["hrtf_old_coeffs"], cfg["hrtf_old_delay"],
+                cfg["hrtf_old_gain"], ev["fade"], cfg["active"], T, fade, nfft)
+            # Dry ambi bus (B-Format/UHJ voices) through the baked decode.
+            scaled, sp2 = f_ops.band_split_hf_scale(
+                dry, state["direct_split"], self._hrtf_split_coeff,
+                self._direct_hf_scales, variant_3arg=True)
+            new_state["direct_split"] = sp2
+            accum_f = accum_f + hrtf_mix.direct_hrtf_accum_f(
+                scaled, self._direct_coeffs, T, nfft)
+            out, new_tail = hrtf_mix.fold_accum(accum_f, state["hrtf_tail"],
+                                                T, nfft)
+            new_state["hrtf_tail"] = new_tail
+            return out, new_state, new_ev
 
         # Post-process: B-Format decode to real outputs.
         if self._dec_lf is not None:
@@ -297,7 +378,35 @@ class RenderDevice:
                              precision=jax.lax.Precision.HIGHEST)
         else:
             out = dry  # Ambi3D output: the dry bus is the output
-        return out, new_state
+        return out, new_state, new_ev
+
+    @functools.partial(jax.jit, static_argnums=(0, 5, 6, 7))
+    def _render_chunk(self, state: dict, ev: dict, cfg: dict, pool: jax.Array,
+                      T: int, n_blocks: int, taps: int):
+        """n_blocks consecutive blocks in one dispatch via lax.scan.
+
+        Amortizes dispatch/transfer overhead when the host has no pending
+        events for the whole horizon (the analog of the reference's RT
+        thread running freely between property updates)."""
+        reset = cfg["reset_rows"]
+        state = dict(state)
+        state["filter_z"] = jnp.where(reset[:, None, None], 0.0,
+                                      state["filter_z"])
+        if "hrtf_history" in state:
+            state["hrtf_history"] = jnp.where(reset[:, None], 0.0,
+                                              state["hrtf_history"])
+        if n_blocks == 1:
+            out, state, ev = self._render_one(state, ev, cfg, pool, T, taps)
+            return out[None], state
+
+        def body(carry, _):
+            st, e = carry
+            out, st, e = self._render_one(st, e, cfg, pool, T, taps)
+            return (st, e), out
+
+        (state, _), outs = jax.lax.scan(body, (state, ev), None,
+                                        length=n_blocks)
+        return outs, state
 
     # --- the render loop ---
 
@@ -310,23 +419,59 @@ class RenderDevice:
         out = np.empty((num_frames, self.n_real), f32)
         done = 0
         while done < num_frames:
-            todo = min(num_frames - done, BUFFER_LINE_SIZE)
-            out[done:done + todo] = self._render_one_block(todo)
-            done += todo
+            done += self._render_dispatch(out, done, num_frames - done)
         return self._convert_output(out)
 
-    def _render_one_block(self, T: int) -> np.ndarray:
+    _CHUNK_SIZES = (64, 8, 1)
+
+    def _render_dispatch(self, out: np.ndarray, done: int, remaining: int) -> int:
         for ctx in self.contexts:
             ctx.process_updates()
 
-        p = self.table.as_device_dict()
-        block, self._state = self._render_block(self._state, p, self.pool.device_array(), T)
-        block = np.asarray(jax.device_get(block)).T  # [T, C]
+        # Choose the dispatch horizon: the largest precompiled chunk that
+        # fits both the request and the next host-visible event.
+        T = min(remaining, BUFFER_LINE_SIZE)
+        n_blocks = 1
+        if T == BUFFER_LINE_SIZE:
+            horizon = min(remaining // T,
+                          min((ctx.event_horizon_blocks(T) for ctx in self.contexts),
+                              default=1 << 30))
+            for size in self._CHUNK_SIZES:
+                if size <= horizon:
+                    n_blocks = size
+                    break
+
+        if self._cfg_dev is None:
+            cfg = {k: jnp.asarray(getattr(self.table, k))
+                   for k in ParamTable._CONFIG}
+            cfg["reset_rows"] = jnp.asarray(self._pending_resets_mask())
+            self._cfg_dev = cfg
+        ev = self.table.evolving_dict()
+
+        blocks, self._state = self._render_chunk(
+            self._state, ev, self._cfg_dev, self.pool.device_array(), T,
+            n_blocks, self._taps)
+        arr = np.asarray(jax.device_get(blocks))           # [n_blocks, C, T]
+        frames = n_blocks * T
+        out[done:done + frames] = arr.transpose(0, 2, 1).reshape(frames, -1)
+
+        if np.any(np.asarray(self._cfg_dev["reset_rows"])):
+            self._cfg_dev = None  # reset mask consumed; rebuild next time
 
         for ctx in self.contexts:
-            ctx.finish_block(T)
-        self._clock_samples += T
-        return block[:T]
+            ctx.finish_chunk(T, n_blocks)
+        self._clock_samples += frames
+        return frames
+
+    def mark_config_dirty(self) -> None:
+        self._cfg_dev = None
+
+    def _pending_resets_mask(self) -> np.ndarray:
+        mask = np.zeros(self.capacity, bool)
+        if self._pending_resets:
+            mask[list(self._pending_resets)] = True
+            self._pending_resets.clear()
+        return mask
 
     def _convert_output(self, x: np.ndarray) -> np.ndarray:
         """Write<T> quantization (alc/alu.cpp:2320-2391)."""

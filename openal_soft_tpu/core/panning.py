@@ -244,6 +244,21 @@ def init_panning(fmt: DevFmtChannels, sample_rate: int, *,
     2D/3D dry bus of the decoder's order feeds a (single or dual band)
     B-Format decode matrix indexed by real output channel.
     """
+    if render_mode == RenderMode.HRTF:
+        # InitHrtfPanning (panning.cpp:846-1138): a full-3D ambi dry bus of
+        # the HRTF ambi order (1 by default) decodes through baked HRIRs; no
+        # speaker decode matrices.
+        count = ambidefs.channels_from_order(ambi_order)
+        real_channels = DEVICE_CHANNEL_ORDER[DevFmtChannels.STEREO]
+        return RendererLayout(
+            mode=render_mode, ambi_order=ambi_order, m2d_mixing=False,
+            dry_acn=ambidefs.INDEX_FROM_ACN[:count].astype(np.int32),
+            dry_scale=np.ones(count, f32), n_dry=count,
+            real_channels=real_channels,
+            channel_index={ch: i for i, ch in enumerate(real_channels)},
+            xover_f0norm=float(xover_freq) / float(sample_rate),
+        )
+
     if fmt == DevFmtChannels.AMBI3D:
         count = ambidefs.channels_from_order(ambi_order)
         acnmap = ambi_layout_map(ambi_layout)[:count]

@@ -159,9 +159,13 @@ def band_split_hf_scale(x: jax.Array, state: jax.Array, coeff: jax.Array,
         y = (ap_y - lp_y1) * hfs + lp_y1
         return jnp.stack([lp_z1, lp_z2, ap_z1], -1), y
 
-    hf_t = jnp.broadcast_to(hfscale, x.shape[:1] + (x.shape[1],)).T \
-        if jnp.ndim(hfscale) <= 1 else hfscale.T
-    state, ys = jax.lax.scan(step, state, (x.T, hf_t))
+    hfscale = jnp.asarray(hfscale)
+    if hfscale.ndim <= 1:   # scalar or per-row → broadcast over time
+        hf2d = jnp.broadcast_to(jnp.reshape(hfscale, (-1, 1)),
+                                (x.shape[0], x.shape[1]))
+    else:
+        hf2d = hfscale
+    state, ys = jax.lax.scan(step, state, (x.T, hf2d.T))
     return ys.T, state
 
 
