@@ -316,7 +316,7 @@ class RenderDevice:
             cfg["bank_row"], cfg["sf"], self._bank, T, taps)
         x = jnp.where(cfg["active"][:, None], x, 0.0)
 
-        y, z2, cf2, cnt2 = f_ops.biquad_dual_interp(
+        y, z2, cf2, cnt2 = f_ops.biquad_dual_interp_chunked(
             x, state["filter_z"], ev["filter_coeffs"], cfg["filter_target"],
             ev["filter_counter"])
         x_mix = jnp.where(cfg["filter_active"][:, None], y, x)

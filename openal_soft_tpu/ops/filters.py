@@ -77,6 +77,112 @@ def biquad_dual_interp(x: jax.Array, z: jax.Array, coeffs: jax.Array,
     return y, z, coeffs, counter
 
 
+def _chunk_coeff_schedule(coeffs, target, counter, n_chunks: int, chunk: int):
+    """Per-chunk coefficient sequence (the reference's 32-sample lerp cadence)."""
+    def sched(carry, _):
+        cf, cnt = carry
+        out = cf
+        cnt2 = jnp.maximum(cnt - chunk, 0)
+        steps_left = cnt2 // chunk
+        a = 1.0 / (steps_left.astype(f32) + 1.0)
+        lerped = cf + (target - cf) * a[:, None, None]
+        was_active = (cnt > 0)[:, None, None]
+        done = (cnt2 == 0)[:, None, None]
+        cf = jnp.where(was_active, jnp.where(done, target, lerped), cf)
+        return (cf, cnt2), out
+
+    (cf_end, cnt_end), cf_all = jax.lax.scan(sched, (coeffs, counter), None,
+                                             length=n_chunks)
+    return cf_all, cf_end, cnt_end
+
+
+def _biquad_chunked_single(x, z, cf_all, chunk: int):
+    """One TDF2 biquad over [L, T] via chunk-parallel state-space recurrence.
+
+    cf_all: [N, L, 5] per-chunk coefficients (constant within each chunk).
+    z: [L, 2] TDF2 states.  The 2x2 companion form per biquad stays well
+    conditioned (a single 4x4 cascade form does not for near-DC shelves).
+    Returns (y [L, T], z' [L, 2]).
+    """
+    L, T = x.shape
+    N = T // chunk
+    b0 = cf_all[..., 0]
+    # Balanced companion form: similarity transform s1 → s1/δ with
+    # δ = sqrt(|a2|) makes A nearly a rotation for complex pole pairs,
+    # keeping transient growth of A^k (and hence f32 error amplification)
+    # near 1 even for near-DC shelf filters.
+    a1c, a2c = cf_all[..., 3], cf_all[..., 4]
+    # One fixed basis per line (from chunk 0) so inter-chunk state handoff
+    # needs no conversion; coefficients only drift slightly within a block.
+    delta = jnp.sqrt(jnp.maximum(jnp.abs(a2c[0]), 1e-8))[None, :]   # [1, L]
+    A = jnp.stack([
+        jnp.stack([-a1c, jnp.broadcast_to(delta, a1c.shape)], -1),
+        jnp.stack([-a2c / delta, jnp.zeros_like(b0)], -1)], -2)     # [N,L,2,2]
+    B = jnp.stack([cf_all[..., 1] - a1c * b0,
+                   (cf_all[..., 2] - a2c * b0) / delta], -1)        # [N,L,2]
+
+    # Transform incoming TDF2 state into the balanced basis; delta is
+    # per-chunk but the state enters with chunk 0's coefficients.
+    z = jnp.stack([z[:, 0], z[:, 1] / delta[0]], -1)  # into balanced basis
+
+    xs = jnp.swapaxes(x.T.reshape(N, chunk, L), 0, 1)               # [K,N,L]
+
+    # Zero-state responses + input-driven end states, all chunks in parallel.
+    def zs_step(s, xk):
+        y = s[..., 0] + b0 * xk
+        s = jnp.einsum("nlij,nlj->nli", A, s,
+                       precision=jax.lax.Precision.HIGHEST) + B * xk[..., None]
+        return s, y
+
+    s_drive, y_zero = jax.lax.scan(zs_step, jnp.zeros((N, L, 2), x.dtype), xs)
+
+    # A^chunk by repeated squaring (chunk is a power of two).
+    M = A
+    for _ in range(chunk.bit_length() - 1):
+        M = jnp.einsum("nlij,nljk->nlik", M, M,
+                       precision=jax.lax.Precision.HIGHEST)
+
+    # Sequential chunk-state recurrence (N tiny steps).
+    def chain(s, inputs):
+        Mk, dk = inputs
+        return jnp.einsum("lij,lj->li", Mk, s,
+                          precision=jax.lax.Precision.HIGHEST) + dk, s
+
+    z_out, s_starts = jax.lax.scan(chain, z, (M, s_drive))
+
+    # Initial-state responses y_state[k] = (C·A^k)·s_start with C = [1, 0].
+    def back_step(w, _):
+        return jnp.einsum("nlij,nli->nlj", A, w,
+                          precision=jax.lax.Precision.HIGHEST), w
+
+    w0 = jnp.broadcast_to(jnp.array([1.0, 0.0], x.dtype), (N, L, 2))
+    _, ws = jax.lax.scan(back_step, w0, None, length=chunk)         # [K,N,L,2]
+    y_state = jnp.einsum("knlj,nlj->knl", ws, s_starts,
+                         precision=jax.lax.Precision.HIGHEST)
+
+    y = jnp.transpose(y_zero + y_state, (2, 1, 0)).reshape(L, T)
+    z_out = jnp.stack([z_out[:, 0], z_out[:, 1] * delta[-1]], -1)
+    return y, z_out
+
+
+def biquad_dual_interp_chunked(x: jax.Array, z: jax.Array, coeffs: jax.Array,
+                               target: jax.Array, counter: jax.Array,
+                               chunk: int = SAMPLES_PER_STEP):
+    """Chunk-parallel equivalent of biquad_dual_interp.
+
+    Sequential depth ~3*(32+32) steps instead of T.  f32 rounding differs
+    from the sample-sequential TDF2 by a few ulps (state-space
+    reassociation), within the renderer's 1e-5 comparison budget.
+    """
+    L, T = x.shape
+    assert T % chunk == 0
+    cf_all, cf_end, cnt_end = _chunk_coeff_schedule(coeffs, target, counter,
+                                                    T // chunk, chunk)
+    y0, z0 = _biquad_chunked_single(x, z[:, 0, :], cf_all[:, :, 0, :], chunk)
+    y1, z1 = _biquad_chunked_single(y0, z[:, 1, :], cf_all[:, :, 1, :], chunk)
+    return y1, jnp.stack([z0, z1], axis=1), cf_end, cnt_end
+
+
 def host_advance_interp(coeffs, target, counter, n: int):
     """Host-side mirror of the device coefficient schedule after ``n`` samples.
 

@@ -63,7 +63,7 @@ def make_sharded_render_step(mesh: Mesh, bank: dict, dec_hf, dec_lf, split_coeff
             p["has_loop"], p["has_wrapped"], p["pos_int"], p["pos_frac"],
             p["increment"], p["bank_row"], p["sf"], bank, T, taps)
         x = jnp.where(p["active"][:, None], x, 0.0)
-        y, z2, _, _ = f_ops.biquad_dual_interp(
+        y, z2, _, _ = f_ops.biquad_dual_interp_chunked(
             x, state["filter_z"], p["filter_coeffs"], p["filter_target"],
             p["filter_counter"])
         x_mix = jnp.where(p["filter_active"][:, None], y, x)

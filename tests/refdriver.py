@@ -58,6 +58,19 @@ AL_CONE_OUTER_ANGLE = 0x1002
 AL_CONE_OUTER_GAIN = 0x1022
 AL_SOURCE_SPATIALIZE_SOFT = 0x1214
 
+# EFX
+AL_FILTER_TYPE = 0x8001
+AL_FILTER_LOWPASS = 0x0001
+AL_FILTER_HIGHPASS = 0x0002
+AL_LOWPASS_GAIN = 0x0001
+AL_LOWPASS_GAINHF = 0x0002
+AL_HIGHPASS_GAIN = 0x0001
+AL_HIGHPASS_GAINLF = 0x0002
+AL_DIRECT_FILTER = 0x20005
+AL_AUXILIARY_SEND_FILTER = 0x20006
+AL_EFFECT_TYPE = 0x8001
+AL_EFFECTSLOT_EFFECT = 0x0001
+
 _CHANNELS = {"mono": ALC_MONO_SOFT, "stereo": ALC_STEREO_SOFT,
              "quad": ALC_QUAD_SOFT, "surround51": ALC_5POINT1_SOFT,
              "surround61": ALC_6POINT1_SOFT, "surround71": ALC_7POINT1_SOFT}
@@ -139,6 +152,25 @@ class RefLoopback:
     def listener_fv(self, param: int, values) -> None:
         arr = (ct.c_float * len(values))(*values)
         self.al.alListenerfv(param, arr)
+
+    def gen_filter(self) -> int:
+        f = ct.c_uint()
+        self.al.alGenFilters(1, ct.byref(f))
+        return f.value
+
+    def filter_i(self, flt: int, param: int, value: int) -> None:
+        self.al.alFilteri(flt, param, value)
+
+    def filter_f(self, flt: int, param: int, value: float) -> None:
+        self.al.alFilterf(flt, param, ct.c_float(value))
+
+    def lowpass_direct(self, src: int, gain: float, gainhf: float) -> None:
+        """Attach a lowpass direct filter to a source."""
+        flt = self.gen_filter()
+        self.filter_i(flt, AL_FILTER_TYPE, AL_FILTER_LOWPASS)
+        self.filter_f(flt, AL_LOWPASS_GAIN, gain)
+        self.filter_f(flt, AL_LOWPASS_GAINHF, gainhf)
+        self.source_i(src, AL_DIRECT_FILTER, flt)
 
     def play(self, src: int) -> None:
         self.al.alSourcePlay(src)

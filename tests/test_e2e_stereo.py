@@ -60,6 +60,9 @@ def _render_ref(scenario: dict, num_frames: int) -> np.ndarray:
                 ref.source_f(src, refdriver.AL_GAIN, props["gain"])
             if "pitch" in props:
                 ref.source_f(src, refdriver.AL_PITCH, props["pitch"])
+            if "direct_gain_hf" in props:
+                ref.lowpass_direct(src, props.get("direct_gain", 1.0),
+                                   props["direct_gain_hf"])
             ref.play(src)
         return ref.render(num_frames)
     finally:
@@ -120,3 +123,16 @@ def test_pitch_shift_multi():
          "props": {"pitch": 0.77, "gain": 0.8, "position": (-3.0, 0.0, -1.0)}},
     ]}
     _golden_compare("stereo_pitch_multi", scenario, 4096, 1.0e-5)
+
+
+def test_filtered_tone():
+    """Direct-path HF filter active (AL_DIRECT_FILTER lowpass analog).
+
+    The chunked state-space biquad reassociates f32 ops; near-DC shelf
+    filters accumulate up to ~5e-5 deviation vs the reference's
+    sample-sequential TDF2, so this scenario runs at a 1e-4 budget."""
+    rate = 44100
+    scenario = {"rate": rate, "sources": [
+        {"data": _tone(rate // 2, 700.0, rate), "buf_rate": rate, "looping": True,
+         "props": {"position": (0.5, 0.0, -1.0), "direct_gain_hf": 0.3}}]}
+    _golden_compare("stereo_filtered_tone", scenario, 4096, 1.0e-4)
