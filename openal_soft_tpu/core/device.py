@@ -233,8 +233,9 @@ class RenderDevice:
                 self.hrtf_store, self.ir_size, ambi_order)
             self._direct_coeffs = jnp.asarray(self._direct_hrtf.coeffs)
             self._direct_hf_scales = jnp.asarray(self._direct_hrtf.hf_scales)
-            self._hrtf_split_coeff = f_ops.band_splitter_coeff(
-                700.0 / self.sample_rate)
+            self._hrtf_splitter = f_ops.BandSplitterKernels(
+                float(f_ops.band_splitter_coeff(700.0 / self.sample_rate)),
+                variant_3arg=True)
 
         self.pool = BufferPool()
         self.table = ParamTable(capacity, self.n_dry, num_aux_sends,
@@ -259,8 +260,9 @@ class RenderDevice:
 
         self._dec_hf = _thresh(self.layout.dec_hf)
         self._dec_lf = _thresh(self.layout.dec_lf)
-        self._split_coeff = (f_ops.band_splitter_coeff(self.layout.xover_f0norm)
-                            if self._dec_lf is not None else None)
+        self._splitter = (f_ops.BandSplitterKernels(
+            float(f_ops.band_splitter_coeff(self.layout.xover_f0norm)))
+            if self._dec_lf is not None else None)
 
     # --- row allocation ---
 
@@ -353,9 +355,8 @@ class RenderDevice:
                 cfg["hrtf_old_coeffs"], cfg["hrtf_old_delay"],
                 cfg["hrtf_old_gain"], ev["fade"], cfg["active"], T, fade, nfft)
             # Dry ambi bus (B-Format/UHJ voices) through the baked decode.
-            scaled, sp2 = f_ops.band_split_hf_scale(
-                dry, state["direct_split"], self._hrtf_split_coeff,
-                self._direct_hf_scales, variant_3arg=True)
+            scaled, sp2 = self._hrtf_splitter.hf_scale(
+                dry, state["direct_split"], self._direct_hf_scales)
             new_state["direct_split"] = sp2
             accum_f = accum_f + hrtf_mix.direct_hrtf_accum_f(
                 scaled, self._direct_coeffs, T, nfft)
@@ -366,8 +367,7 @@ class RenderDevice:
 
         # Post-process: B-Format decode to real outputs.
         if self._dec_lf is not None:
-            hp, lp, sp_state = f_ops.band_split(dry, state["split_state"],
-                                                self._split_coeff)
+            hp, lp, sp_state = self._splitter.split(dry, state["split_state"])
             new_state["split_state"] = sp_state
             out = (jnp.einsum("cd,dt->ct", self._dec_hf, hp,
                               precision=jax.lax.Precision.HIGHEST)

@@ -298,6 +298,104 @@ def band_split_scale(x: jax.Array, state: jax.Array, coeff: jax.Array,
     return ys.T, state
 
 
+class BandSplitterKernels:
+    """Chunk-parallel band splitter with precomputed (f64→f32) kernels.
+
+    The splitter coefficient is fixed per device (crossover / sample rate),
+    so everything except the 32-step chunk-state chain becomes constant
+    matrices: lower-triangular Toeplitz kernels for the zero-state low-pass
+    and all-pass responses, a drive matrix for chunk-end states, C·A^k rows
+    for the initial-state responses, and A^K for the chunk recurrence.
+    State layout matches the sequential scans: (lp_z1, lp_z2, ap_z1).
+    """
+
+    def __init__(self, coeff: float, variant_3arg: bool = False,
+                 chunk: int = SAMPLES_PER_STEP):
+        import numpy as np
+
+        self.chunk = K = chunk
+        apc = float(coeff)
+        lpc = apc * 0.5 + 0.5
+        # State space (f64): s = (lp_z1, lp_z2, ap_z1)
+        #   lp_y0 = (1-lpc) z1 + lpc x
+        #   z1'   = z1 + d0*(1 [+ lpc])   (3-arg variant uses d0*lpc)
+        #   lp_y1 = (1-lpc) z2 + lpc lp_y0
+        #   z2'   = (1-2lpc) z2 + 2 lpc lp_y0
+        #   ap_y  = apc x + z3 ;  z3' = (1-apc^2) x - apc z3
+        z1g = lpc * (1.0 + lpc) if variant_3arg else 2.0 * lpc
+        A = np.array([
+            [1.0 - z1g, 0.0, 0.0],
+            [2.0 * lpc * (1.0 - lpc), 1.0 - 2.0 * lpc, 0.0],
+            [0.0, 0.0, -apc]])
+        B = np.array([z1g, 2.0 * lpc * lpc, 1.0 - apc * apc])
+        C_lp = np.array([lpc * (1.0 - lpc), 1.0 - lpc, 0.0])
+        D_lp = lpc * lpc
+        C_ap = np.array([0.0, 0.0, 1.0])
+        D_ap = apc
+
+        Apow = [np.eye(3)]
+        for _ in range(K):
+            Apow.append(A @ Apow[-1])
+        T_lp = np.zeros((K, K))
+        T_ap = np.zeros((K, K))
+        for k in range(K):
+            T_lp[k, k] = D_lp
+            T_ap[k, k] = D_ap
+            for i in range(k):
+                T_lp[k, i] = C_lp @ Apow[k - 1 - i] @ B
+                T_ap[k, i] = C_ap @ Apow[k - 1 - i] @ B
+        G = np.stack([Apow[K - 1 - i] @ B for i in range(K)], axis=1)  # [3,K]
+        W_lp = np.stack([C_lp @ Apow[k] for k in range(K)])            # [K,3]
+        W_ap = np.stack([C_ap @ Apow[k] for k in range(K)])
+        self.T_lp = jnp.asarray(T_lp.astype(np.float32))
+        self.T_ap = jnp.asarray(T_ap.astype(np.float32))
+        self.G = jnp.asarray(G.astype(np.float32))
+        self.W_lp = jnp.asarray(W_lp.astype(np.float32))
+        self.W_ap = jnp.asarray(W_ap.astype(np.float32))
+        self.M = jnp.asarray(Apow[K].astype(np.float32))
+
+    def _run(self, x: jax.Array, state: jax.Array):
+        """Returns (lp [D,T], ap [D,T], state' [D,3])."""
+        D, T = x.shape
+        K = self.chunk
+        N = T // K
+        hi = jax.lax.Precision.HIGHEST
+        xc = x.reshape(D, N, K)
+        lp_zero = jnp.einsum("dnk,mk->dnm", xc, self.T_lp, precision=hi)
+        ap_zero = jnp.einsum("dnk,mk->dnm", xc, self.T_ap, precision=hi)
+        drive = jnp.einsum("dnk,jk->dnj", xc, self.G, precision=hi)
+
+        def chain(s, dk):
+            return jnp.einsum("ij,dj->di", self.M, s, precision=hi) + dk, s
+
+        s_out, s_starts = jax.lax.scan(chain, state,
+                                       jnp.swapaxes(drive, 0, 1))
+        s_starts = jnp.swapaxes(s_starts, 0, 1)                  # [D,N,3]
+        lp = lp_zero + jnp.einsum("dnj,mj->dnm", s_starts, self.W_lp,
+                                  precision=hi)
+        ap = ap_zero + jnp.einsum("dnj,mj->dnm", s_starts, self.W_ap,
+                                  precision=hi)
+        return lp.reshape(D, T), ap.reshape(D, T), s_out
+
+    def split(self, x: jax.Array, state: jax.Array):
+        """(hp, lp, state') — BandSplitter::process."""
+        lp, ap, s = self._run(x, state)
+        return ap - lp, lp, s
+
+    def hf_scale(self, x: jax.Array, state: jax.Array, hfscale: jax.Array):
+        """processHfScale: (ap-lp)*hf + lp."""
+        lp, ap, s = self._run(x, state)
+        hf = jnp.reshape(hfscale, (-1, 1))
+        return (ap - lp) * hf + lp, s
+
+    def scale(self, x: jax.Array, state: jax.Array, hfscale, lfscale):
+        """processScale: separate hf/lf gains."""
+        lp, ap, s = self._run(x, state)
+        hf = jnp.reshape(jnp.asarray(hfscale), (-1, 1))
+        lf = jnp.reshape(jnp.asarray(lfscale), (-1, 1))
+        return (ap - lp) * hf + lp * lf, s
+
+
 def all_pass(x: jax.Array, z1: jax.Array, coeff: jax.Array):
     """processAllPass: phase-matching all-pass; z1 [L]."""
     def step(z, xin):
