@@ -415,6 +415,9 @@ def prepare_voice_resampler(resampler: Resampler, increment: int,
     if resampler in (Resampler.FAST_BSINC12, Resampler.FAST_BSINC24,
                      Resampler.FAST_BSINC48):
         sf = np.float32(0.0)  # fast variant ignores scale interpolation
+    # Quantize to 24-bit fixed point so the Pallas kernel (which receives sf
+    # through the scalar-prefetch int path) and the jnp path agree exactly.
+    sf = np.float32(np.round(sf * (1 << 24)) / (1 << 24))
     return row0 + si, sf
 
 
