@@ -1,0 +1,64 @@
+"""AL effect objects (al/effect.cpp + al/effects/*.cpp property layer).
+
+An Effect holds validated EFX properties for one effect type; attaching it
+to an aux slot snapshots the properties into the slot (al/auxeffectslot.cpp).
+Defaults match the EFX specification values used by the reference.
+"""
+
+from __future__ import annotations
+
+from ..effects import effect_registry
+
+EFFECT_DEFAULTS: dict[str, dict] = {
+    "null": {},
+    "echo": {"delay": 0.1, "lr_delay": 0.1, "damping": 0.5,
+             "feedback": 0.5, "spread": -1.0},
+    "equalizer": {"low_gain": 1.0, "low_cutoff": 200.0,
+                  "mid1_gain": 1.0, "mid1_center": 500.0, "mid1_width": 1.0,
+                  "mid2_gain": 1.0, "mid2_center": 3000.0, "mid2_width": 1.0,
+                  "high_gain": 1.0, "high_cutoff": 6000.0},
+    "ring_modulator": {"frequency": 440.0, "highpass_cutoff": 800.0,
+                       "waveform": 0},
+    "dedicated_dialog": {"gain": 1.0},
+    "dedicated_lfe": {"gain": 1.0},
+    # Standard reverb property set (AL_EFFECT_REVERB); eaxreverb extends it.
+    "reverb": {
+        "density": 1.0, "diffusion": 1.0, "gain": 0.3162, "gain_hf": 0.8913,
+        "gain_lf": 1.0, "decay_time": 1.49, "decay_hf_ratio": 0.83,
+        "decay_lf_ratio": 1.0, "reflections_gain": 0.05,
+        "reflections_delay": 0.007, "reflections_pan": (0.0, 0.0, 0.0),
+        "late_reverb_gain": 1.2589, "late_reverb_delay": 0.011,
+        "late_reverb_pan": (0.0, 0.0, 0.0), "echo_time": 0.25,
+        "echo_depth": 0.0, "modulation_time": 0.25, "modulation_depth": 0.0,
+        "air_absorption_gain_hf": 0.9943, "hf_reference": 5000.0,
+        "lf_reference": 250.0, "room_rolloff_factor": 0.0,
+        "decay_hf_limit": True,
+    },
+}
+EFFECT_DEFAULTS["eaxreverb"] = EFFECT_DEFAULTS["reverb"]
+
+
+class Effect:
+    def __init__(self, eid: int, effect_type: str = "null") -> None:
+        self.id = eid
+        self.set_type(effect_type)
+
+    def set_type(self, effect_type: str) -> None:
+        if effect_type not in EFFECT_DEFAULTS:
+            raise ValueError(f"unknown effect type: {effect_type}")
+        self.type = effect_type
+        self.props = dict(EFFECT_DEFAULTS[effect_type])
+
+    def set(self, name: str, value) -> None:
+        if name not in self.props:
+            raise ValueError(f"{self.type} has no property {name}")
+        self.props[name] = value
+
+    def get(self, name: str):
+        return self.props[name]
+
+    def load_preset(self, preset: dict) -> None:
+        """Apply an EFX reverb preset dict (see al/presets.py)."""
+        for k, v in preset.items():
+            if k in self.props:
+                self.props[k] = v

@@ -51,6 +51,33 @@ class Source:
     def get(self, name: str):
         return getattr(self.props, name)
 
+    def direct_filter(self, flt) -> None:
+        """AL_DIRECT_FILTER: apply an EFX filter to the direct path."""
+        if flt is None:
+            self.set("direct_gain", 1.0)
+            self.set("direct_gain_hf", 1.0)
+            self.set("direct_gain_lf", 1.0)
+            return
+        gain, ghf, glf = flt.gains()
+        self.set("direct_gain", gain)
+        self.set("direct_gain_hf", ghf)
+        self.set("direct_gain_lf", glf)
+
+    def send(self, slot, send_idx: int = 0, flt=None) -> None:
+        """AL_AUXILIARY_SEND_FILTER: route this source to an effect slot."""
+        import dataclasses as _dc
+
+        sp = self.props.send[send_idx]
+        sp.slot = slot
+        if flt is None:
+            sp.gain, sp.gain_hf, sp.gain_lf = 1.0, 1.0, 1.0
+        else:
+            sp.gain, sp.gain_hf, sp.gain_lf = flt.gains()
+        self._props_dirty = True
+        if self.voice is not None and self.voice.source_id == self.id:
+            self.voice.props = _dc.replace(self.props)
+            self.voice.props_dirty = True
+
     def buffer(self, buf: Buffer | None) -> None:
         """AL_BUFFER: set the static buffer (clears the queue)."""
         self.queue = [buf] if buf is not None else []

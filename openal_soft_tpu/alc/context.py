@@ -84,6 +84,27 @@ class Context:
         self.sources[src.id] = src
         return src
 
+    def create_aux_slot(self):
+        from ..core.effectslot import EffectSlot
+
+        slot = EffectSlot(self._new_id(), self)
+        self.aux_slots[slot.id] = slot
+        return slot
+
+    def create_effect(self, effect_type: str = "null"):
+        from ..al.effect import Effect
+
+        eff = Effect(self._new_id(), effect_type)
+        self.effects[eff.id] = eff
+        return eff
+
+    def create_filter(self, filter_type: str = "null"):
+        from ..al.filter import Filter
+
+        flt = Filter(self._new_id(), filter_type)
+        self.filters[flt.id] = flt
+        return flt
+
     # --- API-side entry points ---
 
     def new_voice(self) -> Voice:
@@ -107,6 +128,11 @@ class Context:
         if force:
             self.params = cparams.calc_context_params(self.listener)
             self._listener_dirty = False
+        for slot in self.aux_slots.values():
+            if slot.props_dirty:
+                self.device.mark_config_dirty()
+                slot.props_dirty = False
+                force = True  # CalcEffectSlotParams forces voice updates
         for v in self.voices:
             if v.source_id and (v.props_dirty or force) \
                     and v.state in (PlayState.PLAYING, PlayState.STOPPING):
@@ -205,6 +231,16 @@ class Context:
             t.sf[r] = mp.sf
             if mp.dry_target is not None and not v.has_hrtf:
                 t.dry_tgt[r] = mp.dry_target[c]
+            for snd in range(self.device.num_aux_sends):
+                slot = v.props.send[snd].slot
+                t.wet_active[r, snd] = slot is not None
+                if slot is not None:
+                    t.wet_slot[r, snd] = slot.index
+                    t.wet_tgt[r, snd] = mp.wet_target[c, snd]
+                    self._set_send_filter_target(
+                        t, r, snd, np.stack([mp.send_lp_coeffs[snd],
+                                             mp.send_hp_coeffs[snd]]))
+                    t.send_filter_active[r, snd] = bool(mp.send_filter_active[snd])
             if v.has_hrtf:
                 # Old ← previous target on fade (DoHrtfMix handles the blend).
                 t.hrtf_old_coeffs[r] = t.hrtf_coeffs[r]
@@ -233,6 +269,21 @@ class Context:
         else:
             t.filter_counter[r] = 0
             t.filter_coeffs[r] = new_target
+
+    @staticmethod
+    def _set_send_filter_target(t, r: int, snd: int, new_target) -> None:
+        changed = bool(np.any(np.abs(new_target - t.send_filter_target[r, snd])
+                              > _COEFF_EPS))
+        t.send_filter_target[r, snd] = new_target
+        if not changed:
+            if t.send_filter_counter[r, snd] <= 0:
+                t.send_filter_counter[r, snd] = 0
+                t.send_filter_coeffs[r, snd] = new_target
+        elif t.send_filter_counter[r, snd] >= 0:
+            t.send_filter_counter[r, snd] = f_ops.INTERP_SAMPLES
+        else:
+            t.send_filter_counter[r, snd] = 0
+            t.send_filter_coeffs[r, snd] = new_target
 
     def _pack_block_fields(self, block_len: int) -> None:
         """Per-dispatch row refresh: positions, fade counters, play state."""
@@ -307,6 +358,15 @@ class Context:
             keep = t.filter_counter[rows] >= 0
             t.filter_coeffs[rows[keep]] = cf[keep]
             t.filter_counter[rows[keep]] = cnt[keep]
+            for snd in range(self.device.num_aux_sends):
+                scf, scnt = f_ops.host_advance_interp(
+                    t.send_filter_coeffs[rows, snd],
+                    t.send_filter_target[rows, snd],
+                    np.maximum(t.send_filter_counter[rows, snd], 0),
+                    min(frames, f_ops.INTERP_SAMPLES))
+                keep = t.send_filter_counter[rows, snd] >= 0
+                t.send_filter_coeffs[rows[keep], snd] = scf[keep]
+                t.send_filter_counter[rows[keep], snd] = scnt[keep]
 
             v.is_fading = True
             # Position advance (voice.cpp:1086-1089)

@@ -147,15 +147,15 @@ class ParamTable:
     # fades expire); the host mirrors their end state with identical integer/
     # f32 math, so they upload once per dispatch — not per block.
     _EVOLVING = ("pos_int", "pos_frac", "fade", "dry_cur", "filter_coeffs",
-                 "filter_counter")
+                 "filter_counter", "wet_cur", "send_filter_coeffs",
+                 "send_filter_counter")
     # Configuration fields: change only on voice/param events.
     _CONFIG = ("active", "playing", "increment", "bank_row", "sf", "src_off",
                "src_len", "loop_start", "loop_end", "has_loop", "has_wrapped",
                "dry_tgt", "filter_active", "filter_target", "hrtf_gain",
                "hrtf_old_gain", "hrtf_coeffs", "hrtf_old_coeffs", "hrtf_delay",
-               "hrtf_old_delay", "wet_slot", "wet_active", "wet_cur", "wet_tgt",
-               "send_filter_active", "send_filter_coeffs", "send_filter_target",
-               "send_filter_counter")
+               "hrtf_old_delay", "wet_slot", "wet_active", "wet_tgt",
+               "send_filter_active", "send_filter_target")
     _FIELDS = _EVOLVING + _CONFIG
 
     def evolving_dict(self) -> dict:
@@ -246,6 +246,10 @@ class RenderDevice:
         self._cfg_dev = None
         self._pending_resets = set()
         self.contexts: list = []
+        # Effect slots: aluInitEffectPanning gives each slot a full-order
+        # ambisonic wet bus (ACN, unit scale).
+        self.wet_channels = (self.layout.ambi_order + 1) ** 2
+        self.slots: list = []
         self._state = self._init_state()
         self._clock_samples = 0
 
@@ -283,12 +287,30 @@ class RenderDevice:
     def set_taps(self, taps: int) -> None:
         self._taps = max(self._taps, taps)
 
+    # --- effect slots ---
+
+    def register_slot(self, slot) -> int:
+        self.slots.append(slot)
+        idx = len(self.slots) - 1
+        self._state[f"slot{idx}"] = slot.state.device_update()
+        self._cfg_dev = None
+        return idx
+
+    def slot_effect_changed(self, slot) -> None:
+        self._state[f"slot{slot.index}"] = slot.state.device_update()
+        self._cfg_dev = None
+
+    def _chain_signature(self) -> tuple:
+        return tuple(s.effect_type for s in self.slots)
+
     # --- device state pytree ---
 
     def _init_state(self) -> dict:
         L = self.capacity
         state = {
             "filter_z": jnp.zeros((L, 2, 2), jnp.float32),
+            "send_filter_z": jnp.zeros((L, max(self.num_aux_sends, 1), 2, 2),
+                                       jnp.float32),
         }
         if self._uses_dual_band():
             state["split_state"] = jnp.zeros((self.n_dry, 3), jnp.float32)
@@ -343,6 +365,48 @@ class RenderDevice:
                                            ev["fade"], fade)
         new_ev["dry_cur"] = dry_cur2
 
+        # --- auxiliary sends + effect slots ------------------------------
+        out_real_extra = None
+        n_slots = len(self.slots)
+        if n_slots:
+            B = self.wet_channels
+            wet_bus = jnp.zeros((n_slots, B, T), jnp.float32)
+            new_sendz = []
+            new_scf, new_scnt = [], []
+            for snd in range(self.num_aux_sends):
+                ys, sz, scf, scnt = f_ops.biquad_dual_interp_chunked(
+                    x, state["send_filter_z"][:, snd],
+                    ev["send_filter_coeffs"][:, snd],
+                    cfg["send_filter_target"][:, snd],
+                    ev["send_filter_counter"][:, snd])
+                sfa = cfg["send_filter_active"][:, snd]
+                xs = jnp.where(sfa[:, None], ys, x)
+                new_sendz.append(jnp.where(sfa[:, None, None], sz, 0.0))
+                new_scf.append(jnp.where(sfa[:, None, None], scf,
+                                         cfg["send_filter_target"][:, snd]))
+                new_scnt.append(jnp.where(sfa, scnt, 0))
+                group = jnp.where(cfg["wet_active"][:, snd],
+                                  cfg["wet_slot"][:, snd], n_slots)
+                wet_tgt = jnp.where(cfg["playing"][:, None],
+                                    cfg["wet_tgt"][:, snd, :B], 0.0)
+                bus_s, wet_cur2 = mix_ops.mix_voices_grouped(
+                    xs, ev["wet_cur"][:, snd, :B], wet_tgt, ev["fade"],
+                    group, n_slots + 1, fade)
+                wet_bus = wet_bus + bus_s[:n_slots]
+                new_ev["wet_cur"] = new_ev["wet_cur"].at[:, snd, :B].set(wet_cur2)
+            new_state["send_filter_z"] = jnp.stack(new_sendz, axis=1)
+            new_ev["send_filter_coeffs"] = jnp.stack(new_scf, axis=1)
+            new_ev["send_filter_counter"] = jnp.stack(new_scnt, axis=1)
+
+            for i, slot in enumerate(self.slots):
+                contrib, real_contrib, new_state[f"slot{i}"] = \
+                    slot.state.process(state[f"slot{i}"], cfg[f"slot{i}"],
+                                       wet_bus[i], T)
+                dry = dry + contrib
+                if real_contrib is not None:
+                    out_real_extra = (real_contrib if out_real_extra is None
+                                      else out_real_extra + real_contrib)
+
         if self.layout.mode == panning.RenderMode.HRTF:
             # Voice HRIR convolutions + direct B-Format→binaural decode, all
             # in one frequency-domain accumulation (ops/hrtf_mix.py).
@@ -363,6 +427,8 @@ class RenderDevice:
             out, new_tail = hrtf_mix.fold_accum(accum_f, state["hrtf_tail"],
                                                 T, nfft)
             new_state["hrtf_tail"] = new_tail
+            if out_real_extra is not None:
+                out = out + out_real_extra
             return out, new_state, new_ev
 
         # Post-process: B-Format decode to real outputs.
@@ -378,11 +444,13 @@ class RenderDevice:
                              precision=jax.lax.Precision.HIGHEST)
         else:
             out = dry  # Ambi3D output: the dry bus is the output
+        if out_real_extra is not None:
+            out = out + out_real_extra
         return out, new_state, new_ev
 
-    @functools.partial(jax.jit, static_argnums=(0, 5, 6, 7))
+    @functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8))
     def _render_chunk(self, state: dict, ev: dict, cfg: dict, pool: jax.Array,
-                      T: int, n_blocks: int, taps: int):
+                      T: int, n_blocks: int, taps: int, chain: tuple):
         """n_blocks consecutive blocks in one dispatch via lax.scan.
 
         Amortizes dispatch/transfer overhead when the host has no pending
@@ -395,6 +463,10 @@ class RenderDevice:
         if "hrtf_history" in state:
             state["hrtf_history"] = jnp.where(reset[:, None], 0.0,
                                               state["hrtf_history"])
+        if "send_filter_z" in state:
+            state["send_filter_z"] = jnp.where(reset[:, None, None, None], 0.0,
+                                               state["send_filter_z"])
+        del chain  # only keys the jit cache: the slot set is traced via self
         if n_blocks == 1:
             out, state, ev = self._render_one(state, ev, cfg, pool, T, taps)
             return out[None], state
@@ -445,12 +517,15 @@ class RenderDevice:
             cfg = {k: jnp.asarray(getattr(self.table, k))
                    for k in ParamTable._CONFIG}
             cfg["reset_rows"] = jnp.asarray(self._pending_resets_mask())
+            for i, slot in enumerate(self.slots):
+                cfg[f"slot{i}"] = {k: jnp.asarray(v)
+                                   for k, v in slot.compute_update().items()}
             self._cfg_dev = cfg
         ev = self.table.evolving_dict()
 
         blocks, self._state = self._render_chunk(
             self._state, ev, self._cfg_dev, self.pool.device_array(), T,
-            n_blocks, self._taps)
+            n_blocks, self._taps, self._chain_signature())
         arr = np.asarray(jax.device_get(blocks))           # [n_blocks, C, T]
         frames = n_blocks * T
         out[done:done + frames] = arr.transpose(0, 2, 1).reshape(frames, -1)

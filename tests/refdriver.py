@@ -191,3 +191,39 @@ class RefLoopback:
         self.al.alcCloseDevice.argtypes = [ct.c_void_p]
         self.al.alcDestroyContext(self.ctx)
         self.al.alcCloseDevice(self.dev)
+
+
+AL_EFFECT_NULL = 0x0000
+AL_EFFECT_REVERB = 0x0001
+AL_EFFECT_CHORUS = 0x0002
+AL_EFFECT_DISTORTION = 0x0003
+AL_EFFECT_ECHO = 0x0004
+AL_EFFECT_FLANGER = 0x0005
+AL_EFFECT_RING_MODULATOR = 0x0009
+AL_EFFECT_EQUALIZER = 0x000C
+AL_EFFECT_EAXREVERB = 0x8000
+AL_ECHO_DELAY = 0x0001
+AL_ECHO_LRDELAY = 0x0002
+AL_ECHO_DAMPING = 0x0003
+AL_ECHO_FEEDBACK = 0x0004
+AL_ECHO_SPREAD = 0x0005
+AL_EFFECTSLOT_GAIN = 0x0002
+
+
+def efx_slot_with_effect(ref, effect_type: int, fprops: dict):
+    """Create (slot, effect) on the reference, set float props, attach."""
+    import ctypes as ct
+
+    eff = ct.c_uint()
+    ref.al.alGenEffects(1, ct.byref(eff))
+    ref.al.alEffecti(eff, AL_EFFECT_TYPE, effect_type)
+    for param, value in fprops.items():
+        ref.al.alEffectf(eff, param, ct.c_float(value))
+    slot = ct.c_uint()
+    ref.al.alGenAuxiliaryEffectSlots(1, ct.byref(slot))
+    ref.al.alAuxiliaryEffectSloti(slot, AL_EFFECTSLOT_EFFECT, eff.value)
+    return slot.value, eff.value
+
+
+def attach_send(ref, src: int, slot: int, send: int = 0):
+    ref.al.alSource3i(src, AL_AUXILIARY_SEND_FILTER, slot, send, 0)
