@@ -20,6 +20,8 @@ EFFECT_DEFAULTS: dict[str, dict] = {
     "ring_modulator": {"frequency": 440.0, "highpass_cutoff": 800.0,
                        "waveform": 0},
     "dedicated_dialog": {"gain": 1.0},
+    "convolution": {"buffer": None, "orient_at": (0.0, 0.0, -1.0),
+                    "orient_up": (0.0, 1.0, 0.0)},
     "dedicated_lfe": {"gain": 1.0},
     # Standard reverb property set (AL_EFFECT_REVERB); eaxreverb extends it.
     "reverb": {

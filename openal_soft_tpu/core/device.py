@@ -296,12 +296,13 @@ class RenderDevice:
         self._cfg_dev = None
         return idx
 
-    def slot_effect_changed(self, slot) -> None:
-        self._state[f"slot{slot.index}"] = slot.state.device_update()
+    def slot_effect_changed(self, slot, buffer=None) -> None:
+        self._state[f"slot{slot.index}"] = slot.state.device_update(buffer)
         self._cfg_dev = None
 
     def _chain_signature(self) -> tuple:
-        return tuple(s.effect_type for s in self.slots)
+        return tuple(getattr(s.state, "state_signature", lambda: s.effect_type)()
+                     for s in self.slots)
 
     # --- device state pytree ---
 

@@ -51,9 +51,17 @@ class EffectSlot:
             self.effect_type = effect.type
             self.effect_props = dict(effect.props)
         self.state = get_effect_factory(self.effect_type)(self.device)
-        self.device.slot_effect_changed(self)
+        self.device.slot_effect_changed(
+            self, buffer=self.effect_props.get("buffer"))
         self.props_dirty = True
         self._update_send_params()
+
+    def set_buffer(self, buffer) -> None:
+        """AL_BUFFER on a slot: the convolution impulse response
+        (al/auxeffectslot.cpp:539-596)."""
+        self.effect_props["buffer"] = buffer
+        self.device.slot_effect_changed(self, buffer=buffer)
+        self.props_dirty = True
 
     def set_gain(self, gain: float) -> None:
         self.gain = float(gain)

@@ -8,7 +8,8 @@ traced into the render graph, the analog of EffectState::process).
 
 from .base import EffectState, effect_registry, get_effect_factory
 
-from . import dedicated  # noqa: F401  (each module registers itself)
+from . import convolution  # noqa: F401  (each module registers itself)
+from . import dedicated  # noqa: F401
 from . import echo  # noqa: F401
 from . import equalizer  # noqa: F401
 from . import modulator  # noqa: F401

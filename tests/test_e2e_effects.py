@@ -107,3 +107,70 @@ def test_equalizer_send():
          AL_EQ_MID1_CENTER: 700.0, AL_EQ_MID1_WIDTH: 0.8,
          AL_EQ_HIGH_GAIN: 1.8, AL_EQ_HIGH_CUTOFF: 5500.0},
         8192, 1.0e-4)
+
+
+def test_convolution_send():
+    """Partitioned-convolution reverb vs the reference (BASELINE config 5)."""
+    rng = np.random.default_rng(11)
+    # A 6000-sample decaying stereo IR (multiple partitions + FIR head).
+    n_ir = 6000
+    t = np.arange(n_ir) / RATE
+    ir = (rng.standard_normal((n_ir, 2)) * np.exp(-t * 12.0)[:, None] * 0.4
+          ).astype(np.float32)
+
+    frames = 2 * 8192
+    path = GOLDEN / "fx_convolution.npz"
+    if refdriver.available():
+        ref = refdriver.RefLoopback(RATE, "stereo", "float32", hrtf=False)
+        try:
+            import ctypes as ct
+            AL_EFFECT_CONVOLUTION_SOFT = 0xA000
+            irbuf = ref.gen_buffer()
+            ref.buffer_data(irbuf, refdriver.AL_FORMAT_STEREO_FLOAT32, ir, RATE)
+            eff = ct.c_uint()
+            ref.al.alGenEffects(1, ct.byref(eff))
+            ref.al.alEffecti(eff, refdriver.AL_EFFECT_TYPE, AL_EFFECT_CONVOLUTION_SOFT)
+            slot = ct.c_uint()
+            ref.al.alGenAuxiliaryEffectSlots(1, ct.byref(slot))
+            ref.al.alAuxiliaryEffectSloti(slot, refdriver.AL_BUFFER, irbuf)
+            ref.al.alAuxiliaryEffectSloti(slot, refdriver.AL_EFFECTSLOT_EFFECT, eff.value)
+            buf = ref.gen_buffer()
+            ref.buffer_data(buf, refdriver.AL_FORMAT_MONO_FLOAT32,
+                            _tone(RATE // 2, 440.0), RATE)
+            src = ref.gen_source()
+            ref.source_i(src, refdriver.AL_BUFFER, buf)
+            ref.source_i(src, refdriver.AL_LOOPING, 1)
+            ref.source_3f(src, refdriver.AL_POSITION, 0.7, 0.0, -1.0)
+            refdriver.attach_send(ref, src, slot.value, 0)
+            ref.play(src)
+            want = ref.render(frames)
+        finally:
+            ref.close()
+        GOLDEN.mkdir(exist_ok=True)
+        np.savez_compressed(path, out=want)
+    elif path.exists():
+        want = np.load(path)["out"]
+    else:
+        pytest.skip("no reference library and no cached golden output")
+
+    dev = LoopbackDevice(frequency=RATE, channels="stereo",
+                         sample_type="float32", capacity=16)
+    ctx = dev.create_context()
+    irb = ctx.create_buffer()
+    irb.set_data(ir, "stereo", "float32", RATE)
+    slot = ctx.create_aux_slot()
+    slot.set_buffer(irb)
+    eff = ctx.create_effect("convolution")
+    slot.set_effect(eff)
+    slot.set_buffer(irb)
+    buf = ctx.create_buffer()
+    buf.set_data(_tone(RATE // 2, 440.0), "mono", "float32", RATE)
+    src = ctx.create_source()
+    src.buffer(buf)
+    src.looping = True
+    src.set("position", (0.7, 0.0, -1.0))
+    src.send(slot, 0)
+    src.play()
+    got = dev.render_samples(frames)
+    err = np.max(np.abs(got - want))
+    assert err <= 1.0e-4, f"max deviation {err:.3e}"
