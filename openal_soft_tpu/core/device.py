@@ -244,6 +244,7 @@ class RenderDevice:
         self._bank = {k: jnp.asarray(v) for k, v in tables.weight_bank().items()}
         self._taps = 4  # raised when voices use bsinc resamplers
         self._cfg_dev = None
+        self._cfg_has_resets = False
         self._pending_resets = set()
         self.contexts: list = []
         # Effect slots: aluInitEffectPanning gives each slot a full-order
@@ -517,7 +518,9 @@ class RenderDevice:
         if self._cfg_dev is None:
             cfg = {k: jnp.asarray(getattr(self.table, k))
                    for k in ParamTable._CONFIG}
-            cfg["reset_rows"] = jnp.asarray(self._pending_resets_mask())
+            mask = self._pending_resets_mask()
+            self._cfg_has_resets = bool(mask.any())   # host-known, no readback
+            cfg["reset_rows"] = jnp.asarray(mask)
             for i, slot in enumerate(self.slots):
                 cfg[f"slot{i}"] = {k: jnp.asarray(v)
                                    for k, v in slot.compute_update().items()}
@@ -531,7 +534,7 @@ class RenderDevice:
         frames = n_blocks * T
         out[done:done + frames] = arr.transpose(0, 2, 1).reshape(frames, -1)
 
-        if np.any(np.asarray(self._cfg_dev["reset_rows"])):
+        if self._cfg_has_resets:
             self._cfg_dev = None  # reset mask consumed; rebuild next time
 
         for ctx in self.contexts:
