@@ -110,6 +110,7 @@ class Source:
         v.is_fading = False
         v.props_dirty = True
 
+
         buf0 = self.queue[0]
         v.fmt_channels = buf0.fmt_channels
         v.frequency = buf0.sample_rate
@@ -118,6 +119,14 @@ class Source:
                               loop_start=b.loop_start, loop_end=b.loop_end,
                               channels=b.channels) for b in self.queue]
         v.queue_index = 0
+        if (self.state == SourceState.PAUSED and old_voice is not None
+                and self.offset == 0):
+            # Resuming a paused source continues from the paused voice's
+            # position (al/source.cpp:2643-2650) instead of frame 0.
+            v.position = old_voice.position
+            v.position_frac = old_voice.position_frac
+            v.queue_index = min(old_voice.queue_index, len(v.queue) - 1)
+            v.has_wrapped = old_voice.has_wrapped
 
         n_rows = self._num_rows(v, dev)
         v.rows = dev.alloc_rows(n_rows)

@@ -80,7 +80,20 @@ class BufferPool:
         return off
 
     def free(self, offset: int, size: int) -> None:
+        # Coalesce with adjacent free spans so buffer churn doesn't fragment
+        # the pool (the reference has no pool at all; per-buffer mallocs).
         self._free.append((offset, size))
+        self._free.sort()
+        merged: list[tuple[int, int]] = []
+        for off, sz in self._free:
+            if merged and merged[-1][0] + merged[-1][1] == off:
+                merged[-1] = (merged[-1][0], merged[-1][1] + sz)
+            else:
+                merged.append((off, sz))
+        # A top-adjacent free span returns to the bump allocator.
+        if merged and merged[-1][0] + merged[-1][1] == self._top:
+            self._top = merged.pop()[0]
+        self._free = merged
 
     def device_array(self) -> jax.Array:
         if self._dirty or self._device is None:
@@ -253,6 +266,7 @@ class RenderDevice:
         self.slots: list = []
         self._state = self._init_state()
         self._clock_samples = 0
+        self._carry: np.ndarray | None = None  # rendered-ahead frames (f32)
 
         # Effective decode matrices with -100 dB entries zeroed (MixSamples
         # silence-skip, mixer_c.cpp:180-181).
@@ -272,6 +286,13 @@ class RenderDevice:
     # --- row allocation ---
 
     def alloc_rows(self, n: int) -> list[int]:
+        if len(self._free_rows) < n:
+            # The reference grows its voice pool on demand (alc.cpp:1952);
+            # here capacity keys the compiled graph shape, so report clearly.
+            raise RuntimeError(
+                f"voice capacity exhausted: {n} rows requested, "
+                f"{len(self._free_rows)} free of {self.capacity} "
+                f"(raise the device's `capacity` or stop sources first)")
         rows = [self._free_rows.pop() for _ in range(n)]
         for r in rows:
             self.table.clear_row(r)
@@ -488,23 +509,35 @@ class RenderDevice:
         """Render num_frames (alcRenderSamplesSOFT, alc/alc.cpp:3498).
 
         Returns interleaved samples [num_frames, n_real] in the device
-        sample type.
+        sample type.  Arbitrary counts are served: the device graph renders
+        in 128-frame granularity (the kernel tiling unit), and any overshoot
+        is carried to the next call (the reference's mixer instead renders
+        odd block sizes directly; the audio stream is identical, only the
+        internal block boundaries differ).
         """
         out = np.empty((num_frames, self.n_real), f32)
         done = 0
+        if self._carry is not None:
+            take = min(num_frames, self._carry.shape[0])
+            out[:take] = self._carry[:take]
+            self._carry = self._carry[take:] if take < self._carry.shape[0] \
+                else None
+            done += take
         while done < num_frames:
             done += self._render_dispatch(out, done, num_frames - done)
         return self._convert_output(out)
 
     _CHUNK_SIZES = (64, 8, 1)
+    _GRAIN = 128  # kernel tiling unit: filters need T%32, HRTF/echo T%128
 
     def _render_dispatch(self, out: np.ndarray, done: int, remaining: int) -> int:
         for ctx in self.contexts:
             ctx.process_updates()
 
         # Choose the dispatch horizon: the largest precompiled chunk that
-        # fits both the request and the next host-visible event.
-        T = min(remaining, BUFFER_LINE_SIZE)
+        # fits both the request and the next host-visible event.  T rounds
+        # up to the 128-frame kernel granularity; overshoot goes to carry.
+        T = min(-(-remaining // self._GRAIN) * self._GRAIN, BUFFER_LINE_SIZE)
         n_blocks = 1
         if T == BUFFER_LINE_SIZE:
             horizon = min(remaining // T,
@@ -532,7 +565,11 @@ class RenderDevice:
             n_blocks, self._taps, self._chain_signature())
         arr = np.asarray(jax.device_get(blocks))           # [n_blocks, C, T]
         frames = n_blocks * T
-        out[done:done + frames] = arr.transpose(0, 2, 1).reshape(frames, -1)
+        flat = arr.transpose(0, 2, 1).reshape(frames, -1)
+        served = min(frames, remaining)
+        out[done:done + served] = flat[:served]
+        if served < frames:
+            self._carry = flat[served:].copy()
 
         if self._cfg_has_resets:
             self._cfg_dev = None  # reset mask consumed; rebuild next time
@@ -540,7 +577,7 @@ class RenderDevice:
         for ctx in self.contexts:
             ctx.finish_chunk(T, n_blocks)
         self._clock_samples += frames
-        return frames
+        return served
 
     def mark_config_dirty(self) -> None:
         self._cfg_dev = None

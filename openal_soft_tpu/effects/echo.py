@@ -5,8 +5,9 @@ Two-tap ping-pong delay with damped feedback.  The sequential form writes
 the block solves the same recurrence by fixed-point iteration: the tap-2
 stream depends on this block's writes only at lags >= D2, so ceil(T/D2)
 passes of (read, damp-filter, scale) reproduce the sequential result
-exactly.  16 passes cover any D2 >= T/16 (= 1.3 ms at 48 kHz); shorter
-feedback delays converge approximately.
+exactly.  The pass count adapts to D2 (host-computed in update(); it keys
+the jit cache through state_signature), so even the shortest valid
+AL_ECHO_DELAY/AL_ECHO_LRDELAY settings are exact.
 """
 
 from __future__ import annotations
@@ -26,7 +27,6 @@ f32 = np.float32
 MAX_DELAY = 0.207
 MAX_LR_DELAY = 0.404
 LOWPASS_FREQ_REF = 5000.0
-FEEDBACK_PASSES = 16
 _SQRT2 = f32(np.sqrt(np.float32(2.0)))
 
 
@@ -34,6 +34,12 @@ _SQRT2 = f32(np.sqrt(np.float32(2.0)))
 class EchoEffect(EffectState):
     defaults = {"delay": 0.1, "lr_delay": 0.1, "damping": 0.5,
                 "feedback": 0.5, "spread": -1.0}
+
+    _n_passes = 16  # overwritten per-config in update()
+
+    def state_signature(self):
+        # The fixed-point pass count is part of the traced graph shape.
+        return ("echo", self._n_passes)
 
     def device_update(self, buffer=None) -> dict:
         freq = self.device.sample_rate
@@ -49,6 +55,8 @@ class EchoEffect(EffectState):
         freq = f32(dev.sample_rate)
         d1 = max(int(np.rint(f32(props["delay"]) * freq)), 1)
         d2 = int(np.rint(f32(props["lr_delay"]) * freq)) + d1
+        # Exact convergence needs ceil(T/d2) passes for the largest block.
+        self._n_passes = max(1, -(-1024 // max(d2, 1)))
         gainhf = f32(max(1.0 - props["damping"], 0.0625))
         coeffs = spec.biquad_set_params("highshelf", f32(LOWPASS_FREQ_REF / freq),
                                         gainhf, _SQRT2)
@@ -87,7 +95,7 @@ class EchoEffect(EffectState):
             return (d, z2), None
 
         (d, z_new), _ = jax.lax.scan(one_pass, (x, state["filter_z"]), None,
-                                     length=FEEDBACK_PASSES)
+                                     length=self._n_passes)
 
         ring = DelayRing.write(ring, d[None, :], T)
         temp0 = DelayRing.read(ring, T + d1, T)[0]

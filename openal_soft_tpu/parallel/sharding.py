@@ -42,8 +42,11 @@ def make_sharded_render_step(mesh: Mesh, bank: dict, dec_hf, dec_lf, split_coeff
     Returns: f(state, params, pool) -> (out [C, T], new_state), where params
       rows and state rows are sharded along the voice axis.
     """
-    dec_hf = jnp.asarray(dec_hf)
-    dec_lf = jnp.asarray(dec_lf) if dec_lf is not None else None
+    # Keep decode matrices as host numpy: they trace into the graph as
+    # constants, so they materialize on whatever backend the mesh lives on
+    # (the virtual-CPU dryrun runs while the default backend is a TPU).
+    dec_hf = np.asarray(dec_hf)
+    dec_lf = np.asarray(dec_lf) if dec_lf is not None else None
 
     param_specs = {
         # per-row fields shard on the leading (voice-line) axis
@@ -58,10 +61,13 @@ def make_sharded_render_step(mesh: Mesh, bank: dict, dec_hf, dec_lf, split_coeff
         state_specs["split_state"] = P()  # replicated post-process state
 
     def step(state, p, pool):
+        # Materialize constants inside the trace so they land on the mesh's
+        # backend, not the process-default one.
+        bank_c = {k: jnp.asarray(np.asarray(v)) for k, v in bank.items()}
         x = rs_ops.resample_voices(
             pool, p["src_off"], p["src_len"], p["loop_start"], p["loop_end"],
             p["has_loop"], p["has_wrapped"], p["pos_int"], p["pos_frac"],
-            p["increment"], p["bank_row"], p["sf"], bank, T, taps)
+            p["increment"], p["bank_row"], p["sf"], bank_c, T, taps)
         x = jnp.where(p["active"][:, None], x, 0.0)
         y, z2, _, _ = f_ops.biquad_dual_interp_chunked(
             x, state["filter_z"], p["filter_coeffs"], p["filter_target"],
