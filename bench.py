@@ -23,7 +23,7 @@ def main() -> None:
 
     from openal_soft_tpu.alc.device import LoopbackDevice
 
-    n_voices = 512
+    n_voices = 4096
     sample_rate = 48000
     block = 1024
     n_blocks = 192

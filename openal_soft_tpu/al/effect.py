@@ -25,14 +25,14 @@ EFFECT_DEFAULTS: dict[str, dict] = {
     "dedicated_lfe": {"gain": 1.0},
     # Standard reverb property set (AL_EFFECT_REVERB); eaxreverb extends it.
     "reverb": {
-        "density": 1.0, "diffusion": 1.0, "gain": 0.3162, "gain_hf": 0.8913,
+        "density": 1.0, "diffusion": 1.0, "gain": 0.32, "gain_hf": 0.89,
         "gain_lf": 1.0, "decay_time": 1.49, "decay_hf_ratio": 0.83,
         "decay_lf_ratio": 1.0, "reflections_gain": 0.05,
         "reflections_delay": 0.007, "reflections_pan": (0.0, 0.0, 0.0),
-        "late_reverb_gain": 1.2589, "late_reverb_delay": 0.011,
+        "late_reverb_gain": 1.26, "late_reverb_delay": 0.011,
         "late_reverb_pan": (0.0, 0.0, 0.0), "echo_time": 0.25,
         "echo_depth": 0.0, "modulation_time": 0.25, "modulation_depth": 0.0,
-        "air_absorption_gain_hf": 0.9943, "hf_reference": 5000.0,
+        "air_absorption_gain_hf": 0.994, "hf_reference": 5000.0,
         "lf_reference": 250.0, "room_rolloff_factor": 0.0,
         "decay_hf_limit": True,
     },

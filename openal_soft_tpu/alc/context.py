@@ -161,13 +161,10 @@ class Context:
             if per_block <= 0:
                 continue
             if v.is_static and v.looping and buf.loop_end > buf.loop_start:
-                if v.has_wrapped:
-                    # Monotone positions within a chunk: bound by int32 range.
-                    limit_frac = (1 << 30)
-                else:
-                    limit_frac = (buf.loop_end << 16)
-            else:
-                limit_frac = (buf.sample_len << 16)
+                # Loop wraps are device-local (the graph rebases positions
+                # and flips has_wrapped itself): no host event, no limit.
+                continue
+            limit_frac = (buf.sample_len << 16)
             cur = (v.position << 16) + v.position_frac
             n = (limit_frac - cur) // per_block  # blocks fully before limit
             horizon = min(horizon, max(int(n), 1))
@@ -243,14 +240,20 @@ class Context:
                     t.send_filter_active[r, snd] = bool(mp.send_filter_active[snd])
             if v.has_hrtf:
                 # Old ← previous target on fade (DoHrtfMix handles the blend).
+                # Device coeffs are 192-tap: HRIR shifted by its integer
+                # delay per ear (exact host-side shift; no device phase).
+                shifted = np.zeros((192, 2), f32)
+                for e in range(2):
+                    d = int(mp.hrtf_delay[c, e])
+                    shifted[d:d + 128, e] = mp.hrtf_coeffs[c][:, e]
                 t.hrtf_old_coeffs[r] = t.hrtf_coeffs[r]
                 t.hrtf_old_delay[r] = t.hrtf_delay[r]
-                t.hrtf_coeffs[r] = mp.hrtf_coeffs[c]
+                t.hrtf_coeffs[r] = shifted
                 t.hrtf_delay[r] = mp.hrtf_delay[c]
                 t.hrtf_gain[r] = mp.hrtf_gain[c]
                 if not v.is_fading:
                     t.hrtf_old_gain[r] = mp.hrtf_gain[c]
-                    t.hrtf_old_coeffs[r] = mp.hrtf_coeffs[c]
+                    t.hrtf_old_coeffs[r] = shifted
                     t.hrtf_old_delay[r] = mp.hrtf_delay[c]
             self._set_filter_target(t, r, np.stack([mp.lp_coeffs, mp.hp_coeffs]))
             t.filter_active[r] = mp.filter_active
@@ -286,51 +289,86 @@ class Context:
             t.send_filter_coeffs[r, snd] = new_target
 
     def _pack_block_fields(self, block_len: int) -> None:
-        """Per-dispatch row refresh: positions, fade counters, play state."""
+        """Per-dispatch row refresh: positions, fade counters, play state.
+
+        Batched over the whole voice population: per-row values are
+        collected into flat index arrays and applied as single
+        fancy-indexed assignments (a per-voice numpy loop cost ~0.5 ms per
+        dispatch per voice at 512+ voices, dominating the block budget).
+        """
         t = self.device.table
         fade = min(GAIN_FADE_SAMPLES, block_len)
+        rows, playing, fades, pos, frac = [], [], [], [], []
+        s_off, s_len, l_start, l_end, h_loop, h_wrap = [], [], [], [], [], []
         for v in self.voices:
             if not v.rows or v.state not in (PlayState.PLAYING, PlayState.STOPPING):
                 continue
-            playing = v.state == PlayState.PLAYING
+            is_playing = v.state == PlayState.PLAYING
             buf = v.current_buffer()
-            for r in v.rows:
-                if not t.active[r] or t.playing[r] != playing:
-                    self.device.mark_config_dirty()
-                t.active[r] = True
-                t.playing[r] = playing
-                t.fade[r] = fade if v.is_fading else 0
-                t.pos_int[r] = v.position
-                t.pos_frac[r] = v.position_frac
-            if buf is not None:
-                self._pack_source(v, buf)
-            else:
-                for r in v.rows:
-                    if t.src_len[r] != 0:
-                        self.device.mark_config_dirty()
-                    t.src_len[r] = 0  # silence
-
-    def _pack_source(self, v: Voice, buf) -> None:
-        t = self.device.table
-        looping = v.looping and v.is_static and v.position < buf.loop_end
-        for c, r in enumerate(v.rows):
-            chan = min(c, buf.channels - 1)
-            src_off = buf.pool_offset + chan * buf.sample_len
-            if (t.src_off[r] != src_off or t.src_len[r] != buf.sample_len
-                    or t.has_loop[r] != looping
-                    or t.has_wrapped[r] != v.has_wrapped):
-                self.device.mark_config_dirty()
-            t.src_off[r] = src_off
-            t.src_len[r] = buf.sample_len
-            t.loop_start[r] = buf.loop_start
-            t.loop_end[r] = max(buf.loop_end, buf.loop_start + 1)
-            t.has_loop[r] = looping
-            t.has_wrapped[r] = v.has_wrapped
+            fade_v = fade if v.is_fading else 0
+            looping = (buf is not None and v.looping and v.is_static
+                       and v.position < buf.loop_end)
+            for c, r in enumerate(v.rows):
+                rows.append(r)
+                playing.append(is_playing)
+                fades.append(fade_v)
+                pos.append(v.position)
+                frac.append(v.position_frac)
+                if buf is not None:
+                    chan = min(c, buf.channels - 1)
+                    s_off.append(buf.pool_offset + chan * buf.sample_len)
+                    s_len.append(buf.sample_len)
+                    l_start.append(buf.loop_start)
+                    l_end.append(max(buf.loop_end, buf.loop_start + 1))
+                    h_loop.append(looping)
+                    h_wrap.append(v.has_wrapped)
+                else:
+                    s_off.append(int(t.src_off[r]))
+                    s_len.append(0)  # silence
+                    l_start.append(int(t.loop_start[r]))
+                    l_end.append(int(t.loop_end[r]))
+                    h_loop.append(False)
+                    h_wrap.append(False)
+        if not rows:
+            return
+        ri = np.array(rows, np.int64)
+        playing = np.array(playing)
+        s_off = np.array(s_off, np.int32)
+        s_len = np.array(s_len, np.int32)
+        l_start = np.array(l_start, np.int32)
+        l_end = np.array(l_end, np.int32)
+        h_loop = np.array(h_loop)
+        h_wrap = np.array(h_wrap)
+        changed = (bool(np.any(~t.active[ri]))
+                   or bool(np.any(t.playing[ri] != playing))
+                   or bool(np.any(t.src_off[ri] != s_off))
+                   or bool(np.any(t.src_len[ri] != s_len))
+                   or bool(np.any(t.loop_start[ri] != l_start))
+                   or bool(np.any(t.loop_end[ri] != l_end))
+                   or bool(np.any(t.has_loop[ri] != h_loop)))
+        if changed:
+            self.device.mark_config_dirty()
+        t.active[ri] = True
+        t.playing[ri] = playing
+        t.fade[ri] = np.array(fades, np.int32)
+        t.pos_int[ri] = np.array(pos, np.int32)
+        t.pos_frac[ri] = np.array(frac, np.int32)
+        t.src_off[ri] = s_off
+        t.src_len[ri] = s_len
+        t.loop_start[ri] = l_start
+        t.loop_end[ri] = l_end
+        t.has_loop[ri] = h_loop
+        t.has_wrapped[ri] = h_wrap
 
     def finish_chunk(self, T: int, n_blocks: int = 1) -> None:
-        """Deterministic post-dispatch state evolution (host mirror)."""
+        """Deterministic post-dispatch state evolution (host mirror).
+
+        Row-wise table updates run as single batched numpy assignments over
+        the whole playing population (the per-voice loop dominated dispatch
+        time at 512+ voices)."""
         t = self.device.table
         frames = T * n_blocks
+        playing_rows: list[int] = []
         for v in self.voices:
             if not v.rows:
                 continue
@@ -342,31 +380,7 @@ class Context:
                 continue
             if v.state != PlayState.PLAYING:
                 continue
-            # Gain ramps complete within the first block: Current ← Target.
-            for r in v.rows:
-                t.dry_cur[r] = t.dry_tgt[r] if t.playing[r] else 0.0
-                t.wet_cur[r] = t.wet_tgt[r] if t.playing[r] else 0.0
-                t.hrtf_old_gain[r] = t.hrtf_gain[r]
-                t.hrtf_old_coeffs[r] = t.hrtf_coeffs[r]
-                t.hrtf_old_delay[r] = t.hrtf_delay[r]
-            rows = np.array(v.rows)
-            # The interp schedule completes within 256 samples; cap the loop.
-            cf, cnt = f_ops.host_advance_interp(
-                t.filter_coeffs[rows], t.filter_target[rows],
-                np.maximum(t.filter_counter[rows], 0),
-                min(frames, f_ops.INTERP_SAMPLES))
-            keep = t.filter_counter[rows] >= 0
-            t.filter_coeffs[rows[keep]] = cf[keep]
-            t.filter_counter[rows[keep]] = cnt[keep]
-            for snd in range(self.device.num_aux_sends):
-                scf, scnt = f_ops.host_advance_interp(
-                    t.send_filter_coeffs[rows, snd],
-                    t.send_filter_target[rows, snd],
-                    np.maximum(t.send_filter_counter[rows, snd], 0),
-                    min(frames, f_ops.INTERP_SAMPLES))
-                keep = t.send_filter_counter[rows, snd] >= 0
-                t.send_filter_coeffs[rows[keep], snd] = scf[keep]
-                t.send_filter_counter[rows[keep], snd] = scnt[keep]
+            playing_rows.extend(v.rows)
 
             v.is_fading = True
             # Position advance (voice.cpp:1086-1089)
@@ -385,6 +399,34 @@ class Context:
                     src.voice_ended()
                 v.source_id = 0
                 self.device.mark_config_dirty()
+
+        if not playing_rows:
+            return
+        rows = np.array(playing_rows, np.int64)
+        # Gain ramps complete within the first block: Current <- Target.
+        pl = t.playing[rows]
+        t.dry_cur[rows] = np.where(pl[:, None], t.dry_tgt[rows], 0.0)
+        t.wet_cur[rows] = np.where(pl[:, None, None], t.wet_tgt[rows], 0.0)
+        t.hrtf_old_gain[rows] = t.hrtf_gain[rows]
+        t.hrtf_old_coeffs[rows] = t.hrtf_coeffs[rows]
+        t.hrtf_old_delay[rows] = t.hrtf_delay[rows]
+        # The interp schedule completes within 256 samples; cap the loop.
+        cf, cnt = f_ops.host_advance_interp(
+            t.filter_coeffs[rows], t.filter_target[rows],
+            np.maximum(t.filter_counter[rows], 0),
+            min(frames, f_ops.INTERP_SAMPLES))
+        keep = t.filter_counter[rows] >= 0
+        t.filter_coeffs[rows[keep]] = cf[keep]
+        t.filter_counter[rows[keep]] = cnt[keep]
+        for snd in range(self.device.num_aux_sends):
+            scf, scnt = f_ops.host_advance_interp(
+                t.send_filter_coeffs[rows, snd],
+                t.send_filter_target[rows, snd],
+                np.maximum(t.send_filter_counter[rows, snd], 0),
+                min(frames, f_ops.INTERP_SAMPLES))
+            keep = t.send_filter_counter[rows, snd] >= 0
+            t.send_filter_coeffs[rows[keep], snd] = scf[keep]
+            t.send_filter_counter[rows[keep], snd] = scnt[keep]
 
     # Backwards-compatible alias (single block).
     def finish_block(self, T: int) -> None:

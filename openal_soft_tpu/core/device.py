@@ -32,11 +32,13 @@ from ..constants import (
     MAX_AMBI_CHANNELS,
     RESAMPLE_TAPS,
 )
+from ..constants import MIXER_FRAC_BITS as MIXER_FRAC_BITS_
 from ..ops import filters as f_ops
 from ..ops import hrtf_mix
 from ..ops import mix as mix_ops
 from ..ops import resample as rs_ops
 from ..ops import tables
+from ..ops.pallas import resample2 as rs_pallas
 from . import context as ctx_mod
 from . import hrtf as hrtf_mod
 from . import panning
@@ -136,11 +138,13 @@ class ParamTable:
         # Identity biquads by default
         self.filter_coeffs[:, :, 0] = 1.0
         self.filter_target[:, :, 0] = 1.0
-        # HRTF rows (used when the device renders binaural)
+        # HRTF rows (used when the device renders binaural).  Coeffs are
+        # 192 taps: the 128-tap HRIR shifted by its integer delay (exact,
+        # host-side), so the device needs no per-bin phase factors.
         self.hrtf_gain = np.zeros(L, f32)
         self.hrtf_old_gain = np.zeros(L, f32)
-        self.hrtf_coeffs = np.zeros((L, 128, 2), f32)
-        self.hrtf_old_coeffs = np.zeros((L, 128, 2), f32)
+        self.hrtf_coeffs = np.zeros((L, 192, 2), f32)
+        self.hrtf_old_coeffs = np.zeros((L, 192, 2), f32)
         self.hrtf_delay = np.zeros((L, 2), np.int32)
         self.hrtf_old_delay = np.zeros((L, 2), np.int32)
         # Wet sends: routing + gains
@@ -159,12 +163,15 @@ class ParamTable:
     # (positions advance, gain ramps complete, filter coefficients interp,
     # fades expire); the host mirrors their end state with identical integer/
     # f32 math, so they upload once per dispatch — not per block.
-    _EVOLVING = ("pos_int", "pos_frac", "fade", "dry_cur", "filter_coeffs",
-                 "filter_counter", "wet_cur", "send_filter_coeffs",
-                 "send_filter_counter")
-    # Configuration fields: change only on voice/param events.
+    _EVOLVING = ("pos_int", "pos_frac", "fade", "has_wrapped", "dry_cur",
+                 "filter_coeffs", "filter_counter", "wet_cur",
+                 "send_filter_coeffs", "send_filter_counter")
+    # Configuration fields: change only on voice/param events.  Note
+    # has_wrapped is EVOLVING: the device detects loop wraps itself (the
+    # position rebase below), so a wrap is not a host-visible event and
+    # steady looping scenes never leave the chunked dispatch path.
     _CONFIG = ("active", "playing", "increment", "bank_row", "sf", "src_off",
-               "src_len", "loop_start", "loop_end", "has_loop", "has_wrapped",
+               "src_len", "loop_start", "loop_end", "has_loop",
                "dry_tgt", "filter_active", "filter_target", "hrtf_gain",
                "hrtf_old_gain", "hrtf_coeffs", "hrtf_old_coeffs", "hrtf_delay",
                "hrtf_old_delay", "wet_slot", "wet_active", "wet_tgt",
@@ -255,7 +262,11 @@ class RenderDevice:
                                 MAX_AMBI_CHANNELS)
         self._free_rows = list(range(capacity - 1, -1, -1))
         self._bank = {k: jnp.asarray(v) for k, v in tables.weight_bank().items()}
+        self._bank_pad = None   # built lazily for the Pallas resampler
         self._taps = 4  # raised when voices use bsinc resamplers
+        # The Pallas resampler is the TPU production path; the jnp path is
+        # the CPU/test reference (ARCHITECTURE.md "perf kernel tier").
+        self._pallas_ok = jax.default_backend() == "tpu"
         self._cfg_dev = None
         self._cfg_has_resets = False
         self._pending_resets = set()
@@ -267,6 +278,8 @@ class RenderDevice:
         self._state = self._init_state()
         self._clock_samples = 0
         self._carry: np.ndarray | None = None  # rendered-ahead frames (f32)
+        self._derived_cache: dict = {}
+        self._derived_fn = None
 
         # Effective decode matrices with -100 dB entries zeroed (MixSamples
         # silence-skip, mixer_c.cpp:180-181).
@@ -349,18 +362,28 @@ class RenderDevice:
     # --- the jitted block graph ---
 
     def _render_one(self, state: dict, ev: dict, cfg: dict, pool: jax.Array,
-                    T: int, taps: int):
+                    T: int, taps: int, rs_plan: tuple | None = None,
+                    derived: dict = {}):
         """One block: returns (out [C,T], state', ev').
 
         Evolving fields advance exactly as the host mirrors them: positions
         by the fixed-point step, current gains to targets, filter coeffs per
         the interp schedule, the fade counter to zero (with Current==Target
         the continued 64-sample "fade" of the reference is the identity)."""
-        x = rs_ops.resample_voices(
-            pool, cfg["src_off"], cfg["src_len"], cfg["loop_start"],
-            cfg["loop_end"], cfg["has_loop"], cfg["has_wrapped"],
-            ev["pos_int"], ev["pos_frac"], cfg["increment"],
-            cfg["bank_row"], cfg["sf"], self._bank, T, taps)
+        if rs_plan is not None:
+            span, winw = rs_plan
+            x = rs_pallas.resample_voices_pallas2(
+                pool.reshape(-1, 128), cfg["src_off"], cfg["src_len"],
+                cfg["loop_start"], cfg["loop_end"], cfg["has_loop"],
+                ev["has_wrapped"], ev["pos_int"], ev["pos_frac"],
+                cfg["increment"], cfg["bank_row"], cfg["sf"],
+                self._bank_pad, T, taps, span, winw)
+        else:
+            x = rs_ops.resample_voices(
+                pool, cfg["src_off"], cfg["src_len"], cfg["loop_start"],
+                cfg["loop_end"], cfg["has_loop"], ev["has_wrapped"],
+                ev["pos_int"], ev["pos_frac"], cfg["increment"],
+                cfg["bank_row"], cfg["sf"], self._bank, T, taps)
         x = jnp.where(cfg["active"][:, None], x, 0.0)
 
         y, z2, cf2, cnt2 = f_ops.biquad_dual_interp_chunked(
@@ -376,7 +399,19 @@ class RenderDevice:
         pi2, pf2 = rs_ops.advance_positions(ev["pos_int"], ev["pos_frac"],
                                             cfg["increment"],
                                             jnp.int32(T))
+        # Rebase looping voices into [loop_start, loop_end) between blocks
+        # (congruent mod loop_len, so resolved reads are identical), setting
+        # has_wrapped on the first wrap — the same integer math the host
+        # mirror (Voice.advance) applies at chunk end.  This keeps positions
+        # bounded across long chunked dispatches and makes loop wraps
+        # device-local (no host event, no config rebuild).
+        ll = jnp.maximum(cfg["loop_end"] - cfg["loop_start"], 1)
+        rebase = cfg["has_loop"] & (pi2 >= cfg["loop_end"])
+        pi2 = jnp.where(rebase,
+                        cfg["loop_start"] + (pi2 - cfg["loop_start"]) % ll,
+                        pi2)
         new_ev["pos_int"], new_ev["pos_frac"] = pi2, pf2
+        new_ev["has_wrapped"] = ev["has_wrapped"] | rebase
         new_ev["filter_coeffs"] = jnp.where(fa[:, None, None], cf2,
                                             cfg["filter_target"])
         new_ev["filter_counter"] = jnp.where(fa, cnt2, 0)
@@ -434,19 +469,21 @@ class RenderDevice:
             # Voice HRIR convolutions + direct B-Format→binaural decode, all
             # in one frequency-domain accumulation (ops/hrtf_mix.py).
             nfft = hrtf_mix.fft_size(T)
+            if not derived:
+                derived = self._hrtf_derived(cfg, T)
             x_cat = jnp.concatenate([state["hrtf_history"], x_mix], axis=1)
             new_state["hrtf_history"] = x_cat[:, T:]
             g_eff = jnp.where(cfg["playing"], cfg["hrtf_gain"], 0.0)
             accum_f = hrtf_mix.hrtf_voices_accum_f(
-                x_cat, cfg["hrtf_coeffs"], cfg["hrtf_delay"], g_eff,
-                cfg["hrtf_old_coeffs"], cfg["hrtf_old_delay"],
+                x_cat, derived["C_new"], cfg["hrtf_delay"], g_eff,
+                derived["C_old"], cfg["hrtf_old_delay"],
                 cfg["hrtf_old_gain"], ev["fade"], cfg["active"], T, fade, nfft)
             # Dry ambi bus (B-Format/UHJ voices) through the baked decode.
             scaled, sp2 = self._hrtf_splitter.hf_scale(
                 dry, state["direct_split"], self._direct_hf_scales)
             new_state["direct_split"] = sp2
             accum_f = accum_f + hrtf_mix.direct_hrtf_accum_f(
-                scaled, self._direct_coeffs, T, nfft)
+                scaled, derived["C_dir"], T, nfft)
             out, new_tail = hrtf_mix.fold_accum(accum_f, state["hrtf_tail"],
                                                 T, nfft)
             new_state["hrtf_tail"] = new_tail
@@ -471,9 +508,10 @@ class RenderDevice:
             out = out + out_real_extra
         return out, new_state, new_ev
 
-    @functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8))
+    @functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8, 9))
     def _render_chunk(self, state: dict, ev: dict, cfg: dict, pool: jax.Array,
-                      T: int, n_blocks: int, taps: int, chain: tuple):
+                      T: int, n_blocks: int, taps: int, chain: tuple,
+                      rs_plan: tuple | None = None, derived: dict = {}):
         """n_blocks consecutive blocks in one dispatch via lax.scan.
 
         Amortizes dispatch/transfer overhead when the host has no pending
@@ -491,17 +529,51 @@ class RenderDevice:
                                                state["send_filter_z"])
         del chain  # only keys the jit cache: the slot set is traced via self
         if n_blocks == 1:
-            out, state, ev = self._render_one(state, ev, cfg, pool, T, taps)
+            out, state, ev = self._render_one(state, ev, cfg, pool, T, taps,
+                                              rs_plan, derived)
             return out[None], state
 
         def body(carry, _):
             st, e = carry
-            out, st, e = self._render_one(st, e, cfg, pool, T, taps)
+            out, st, e = self._render_one(st, e, cfg, pool, T, taps, rs_plan,
+                                          derived)
             return (st, e), out
 
         (state, _), outs = jax.lax.scan(body, (state, ev), None,
                                         length=n_blocks)
         return outs, state
+
+    def _hrtf_derived(self, cfg: dict, T: int) -> dict:
+        """HRIR spectra: config-only, computed once per config change and
+        cached host-side (never re-derived inside the render dispatch)."""
+        nfft = hrtf_mix.fft_size(T)
+        return {
+            "C_new": hrtf_mix.coeff_spectra(cfg["hrtf_coeffs"], nfft),
+            "C_old": hrtf_mix.coeff_spectra(cfg["hrtf_old_coeffs"], nfft),
+            "C_dir": jnp.fft.rfft(
+                jnp.asarray(self._direct_coeffs).transpose(0, 2, 1),
+                n=nfft, axis=2),
+        }
+
+    def _get_derived(self, T: int) -> dict:
+        if self.layout.mode != panning.RenderMode.HRTF:
+            return {}
+        nfft = hrtf_mix.fft_size(T)
+        d = self._derived_cache.get(nfft)
+        if d is None:
+            if self._derived_fn is None:
+                self._derived_fn = jax.jit(
+                    lambda c, co, dc, n: {
+                        "C_new": hrtf_mix.coeff_spectra(c, n),
+                        "C_old": hrtf_mix.coeff_spectra(co, n),
+                        "C_dir": jnp.fft.rfft(dc.transpose(0, 2, 1),
+                                              n=n, axis=2),
+                    }, static_argnums=3)
+            d = self._derived_fn(self._cfg_dev["hrtf_coeffs"],
+                                 self._cfg_dev["hrtf_old_coeffs"],
+                                 jnp.asarray(self._direct_coeffs), nfft)
+            self._derived_cache[nfft] = d
+        return d
 
     # --- the render loop ---
 
@@ -536,8 +608,12 @@ class RenderDevice:
 
         # Choose the dispatch horizon: the largest precompiled chunk that
         # fits both the request and the next host-visible event.  T rounds
-        # up to the 128-frame kernel granularity; overshoot goes to carry.
-        T = min(-(-remaining // self._GRAIN) * self._GRAIN, BUFFER_LINE_SIZE)
+        # up to the kernel granularity (128, or an effect's inner chunk
+        # size); overshoot goes to carry.
+        grain = self._GRAIN
+        for slot in self.slots:
+            grain = max(grain, getattr(slot.state, "granularity", 128))
+        T = min(-(-remaining // grain) * grain, BUFFER_LINE_SIZE)
         n_blocks = 1
         if T == BUFFER_LINE_SIZE:
             horizon = min(remaining // T,
@@ -549,6 +625,7 @@ class RenderDevice:
                     break
 
         if self._cfg_dev is None:
+            self._derived_cache = {}
             cfg = {k: jnp.asarray(getattr(self.table, k))
                    for k in ParamTable._CONFIG}
             mask = self._pending_resets_mask()
@@ -562,7 +639,8 @@ class RenderDevice:
 
         blocks, self._state = self._render_chunk(
             self._state, ev, self._cfg_dev, self.pool.device_array(), T,
-            n_blocks, self._taps, self._chain_signature())
+            n_blocks, self._taps, self._chain_signature(), self._rs_plan(T),
+            self._get_derived(T))
         arr = np.asarray(jax.device_get(blocks))           # [n_blocks, C, T]
         frames = n_blocks * T
         flat = arr.transpose(0, 2, 1).reshape(frames, -1)
@@ -581,6 +659,26 @@ class RenderDevice:
 
     def mark_config_dirty(self) -> None:
         self._cfg_dev = None
+
+    def _rs_plan(self, T: int) -> tuple | None:
+        """(span, winw) for the Pallas resampler, or None for the jnp path.
+
+        Static per dispatch: keys the jit cache, so plans only bucket-change
+        when the population's max pitch crosses a window-width boundary."""
+        if not (self._pallas_ok and T % 128 == 0
+                and self.capacity % rs_pallas.NV == 0):
+            return None
+        t = self.table
+        max_inc = int(t.increment.max())
+        if max_inc > (10 << MIXER_FRAC_BITS_):
+            return None
+        winw = rs_pallas.winw_for(max_inc, self._taps)
+        loop_len = t.loop_end - t.loop_start
+        if not bool(np.all(~t.has_loop | (loop_len >= winw))):
+            return None   # sub-window loops fall back to the jnp gather path
+        if self._bank_pad is None:
+            self._bank_pad = rs_pallas.pad_bank_taps(tables.weight_bank())
+        return (rs_pallas.span_for_increment(max_inc, T, winw), winw)
 
     def _pending_resets_mask(self) -> np.ndarray:
         mask = np.zeros(self.capacity, bool)

@@ -14,5 +14,6 @@ from . import echo  # noqa: F401
 from . import equalizer  # noqa: F401
 from . import modulator  # noqa: F401
 from . import null  # noqa: F401
+from . import reverb  # noqa: F401
 
 __all__ = ["EffectState", "effect_registry", "get_effect_factory"]

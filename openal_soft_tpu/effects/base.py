@@ -35,6 +35,7 @@ class EffectState:
     """Host-side effect instance bound to a slot on a device."""
 
     name = "base"
+    granularity = 128   # block sizes must be multiples of this
 
     def __init__(self, device) -> None:
         self.device = device

@@ -33,16 +33,27 @@ from ..constants import (
 )
 
 HIST = HRTF_HISTORY_LENGTH  # 64
+HRIR_EXT = HRIR_LENGTH + HIST  # 192: HRIR shifted by its integer delay
 
 
 def fft_size(T: int) -> int:
     n = 1
-    while n < HIST + T + HRIR_LENGTH:
+    while n < HIST + T + HRIR_EXT:
         n <<= 1
     return n
 
 
-def hrtf_voices_accum_f(x_cat, coeffs, delay, gain, old_coeffs, old_delay,
+def coeff_spectra(coeffs: jax.Array, nfft: int) -> jax.Array:
+    """Delay-shifted HRIR spectra: [L, 192, 2] -> [L, 2, F] complex64.
+
+    The integer HRIR delay is baked into the time-domain coefficients by
+    the host (a shift, exact), so no per-bin phase factor is needed.
+    Computed once per dispatch (outside the block scan) since coefficients
+    are config."""
+    return jnp.fft.rfft(coeffs.transpose(0, 2, 1), n=nfft, axis=2)
+
+
+def hrtf_voices_accum_f(x_cat, C_new, delay, gain, C_old, old_delay,
                         old_gain, fade, active, T: int, fade_len: int,
                         nfft: int):
     """Frequency-domain stereo accumulation spectrum for a voice batch.
@@ -52,15 +63,21 @@ def hrtf_voices_accum_f(x_cat, coeffs, delay, gain, old_coeffs, old_delay,
     otherwise the new IR applies at constant gain (old_gain must equal gain,
     which the host guarantees by syncing Old ← Target each block).
 
+    Cost structure: the IR spectra (C_new/C_old, see coeff_spectra) are
+    computed once per dispatch by the caller; the per-block cost is the
+    per-voice input FFTs.  Steady blocks (no voice fading — the common case)
+    run through a ``lax.cond`` branch with 2 input FFTs per voice; fade
+    blocks pay 4 (old + new set, per ear).
+
     Args:
       x_cat: [L, HIST+T] f32 history ++ filtered block samples.
-      coeffs/old_coeffs: [L, 128, 2] HRIRs; delay/old_delay: [L, 2] int32.
+      C_new/C_old: [L, 2, F] delay-shifted HRIR spectra.
+      delay/old_delay: [L, 2] int32 (the envelope window still needs them).
       gain/old_gain: [L] f32; fade: [L] int32 (0 or fade_len); active: [L].
     Returns accum_f [nfft//2+1, 2] complex64.
     """
     j = jnp.arange(HIST + T, dtype=jnp.float32)
     fading = (fade > 0)[:, None, None]
-    freqs = jnp.arange(nfft // 2 + 1, dtype=jnp.float32)
 
     def shifted_env(d, kind):
         # Envelope evaluated at arg = m + d, m the input stream index.
@@ -78,30 +95,35 @@ def hrtf_voices_accum_f(x_cat, coeffs, delay, gain, old_coeffs, old_delay,
         valid = (arg >= 0.0) & (arg < T)
         return jnp.where(valid, env, 0.0)
 
-    def one_set(c, d, env):
+    def one_set(C, env):
         w = x_cat[:, None, :] * env                          # [L, 2, HIST+T]
         W = jnp.fft.rfft(w, n=nfft, axis=2)
-        C = jnp.fft.rfft(c.transpose(0, 2, 1), n=nfft, axis=2)
-        phase = jnp.exp((-2j * jnp.pi / nfft) * freqs[None, None, :]
-                        * d[:, :, None].astype(jnp.float32)).astype(jnp.complex64)
-        prod = jnp.where(active[:, None, None], W * C * phase, 0.0)
+        prod = jnp.where(active[:, None, None], W * C, 0.0)
         return jnp.sum(prod, axis=0).T                       # [F, 2]
 
-    total = one_set(coeffs, delay, shifted_env(delay, "new"))
-    total = total + one_set(old_coeffs, old_delay, shifted_env(old_delay, "old"))
-    return total
+    def fade_branch(_):
+        total = one_set(C_new, shifted_env(delay, "new"))
+        return total + one_set(C_old, shifted_env(old_delay, "old"))
+
+    def steady_branch(_):
+        # No fades: env is the constant gain inside the per-ear valid
+        # window.  The old set contributes nothing (host syncs old <- new).
+        return one_set(C_new, shifted_env(delay, "new"))
+
+    any_fade = jnp.any(fade > 0)
+    return jax.lax.cond(any_fade, fade_branch, steady_branch, None)
 
 
-def direct_hrtf_accum_f(chans, chan_coeffs, T: int, nfft: int):
+def direct_hrtf_accum_f(chans, C_dir, T: int, nfft: int):
     """Direct B-Format→binaural spectrum (the FIR part of MixDirectHrtf).
 
-    chans: [D, T] hf-scaled dry channels; chan_coeffs: [D, 128, 2].
+    chans: [D, T] hf-scaled dry channels; C_dir: [D, 2, F] baked-decode
+    HRIR spectra (precomputed per dispatch via coeff_spectra).
     Returns accum_f [F, 2] complex64 in the voice accumulation frame.
     """
     w = jnp.pad(chans, ((0, 0), (HIST, 0)))
     W = jnp.fft.rfft(w, n=nfft, axis=1)                      # [D, F]
-    C = jnp.fft.rfft(chan_coeffs.transpose(0, 2, 1), n=nfft, axis=2)
-    return jnp.sum(W[:, None, :] * C, axis=0).T              # [F, 2]
+    return jnp.sum(W[:, None, :] * C_dir, axis=0).T          # [F, 2]
 
 
 def fold_accum(accum_f, tail, T: int, nfft: int):
