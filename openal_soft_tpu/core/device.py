@@ -41,6 +41,7 @@ from ..ops import tables
 from ..ops.pallas import resample2 as rs_pallas
 from . import context as ctx_mod
 from . import hrtf as hrtf_mod
+from . import mastering
 from . import panning
 from .devformat import DevFmtChannels, DevFmtType
 from .voice import PlayState, Voice
@@ -280,6 +281,16 @@ class RenderDevice:
         self._carry: np.ndarray | None = None  # rendered-ahead frames (f32)
         self._derived_cache: dict = {}
         self._derived_fn = None
+
+        # Output stage (alc/alc.cpp:1677-1763): dither for 8/16-bit output,
+        # limiter for all integer formats (headroom-derived threshold).
+        depth = mastering.default_dither_depth(fmt_type.name)
+        self.dither = (mastering.DitherState(depth) if depth > 0 else None)
+        self.limiter = None
+        if fmt_type != DevFmtType.FLOAT:
+            thr_db = mastering.limiter_threshold_db(fmt_type.name, depth)
+            self.limiter = mastering.Limiter(self.n_real,
+                                             float(self.sample_rate), thr_db)
 
         # Effective decode matrices with -100 dB entries zeroed (MixSamples
         # silence-skip, mixer_c.cpp:180-181).
@@ -688,16 +699,32 @@ class RenderDevice:
         return mask
 
     def _convert_output(self, x: np.ndarray) -> np.ndarray:
-        """Write<T> quantization (alc/alu.cpp:2320-2391)."""
+        """Limiter -> dither -> Write<T> quantization (alu.cpp:2422-2438).
+
+        The limiter and dither run in <=1024-frame blocks, matching the
+        reference's renderSamples cadence, on the decoded host output."""
+        if self.limiter is not None:
+            x = np.ascontiguousarray(x)
+            for i in range(0, x.shape[0], BUFFER_LINE_SIZE):
+                self.limiter.process(x[i:i + BUFFER_LINE_SIZE])
+        if self.dither is not None:
+            parts = [self.dither.apply(x[i:i + BUFFER_LINE_SIZE])
+                     for i in range(0, x.shape[0], BUFFER_LINE_SIZE)]
+            x = np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
         if self.fmt_type == DevFmtType.FLOAT:
             return x
+        # SampleConv<T> (alu.cpp:2320-2346): clamp then round-nearest-even.
         if self.fmt_type == DevFmtType.SHORT:
-            return np.clip(np.rint(x * 32768.0), -32768, 32767).astype(np.int16)
+            return np.rint(np.clip(x * f32(32768.0), -32768.0, 32767.0)
+                           ).astype(np.int16)
         if self.fmt_type == DevFmtType.UBYTE:
-            return (np.clip(np.rint(x * 128.0), -128, 127) + 128).astype(np.uint8)
+            return (np.rint(np.clip(x * f32(128.0), -128.0, 127.0)
+                            ).astype(np.int16) + 128).astype(np.uint8)
         if self.fmt_type == DevFmtType.BYTE:
-            return np.clip(np.rint(x * 128.0), -128, 127).astype(np.int8)
+            return np.rint(np.clip(x * f32(128.0), -128.0, 127.0)
+                           ).astype(np.int8)
         if self.fmt_type == DevFmtType.INT:
-            return np.clip(np.rint(x * 2147483648.0), -2147483648,
-                           2147483647).astype(np.int32)
+            return np.rint(np.clip(x * f32(2147483648.0), -2147483648.0,
+                                   2147483520.0)).astype(np.int64
+                                                         ).astype(np.int32)
         raise NotImplementedError(self.fmt_type)
