@@ -10,7 +10,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..core.devformat import FmtChannels, FmtType, channels_from_fmt, decode_to_float32
+from ..core.devformat import (AmbiLayout, AmbiScaling, FmtChannels, FmtType,
+                              channels_from_fmt, decode_to_float32)
 from .adpcm import decode_ima4, decode_msadpcm
 
 _FMT_CHANNELS = {
@@ -34,6 +35,8 @@ class Buffer:
         self.sample_len = 0
         self.channels = 1
         self.ambi_order = 0
+        self.ambi_layout = AmbiLayout.FUMA   # AL_EXT_BFORMAT default
+        self.ambi_scaling = AmbiScaling.FUMA
         self.loop_start = 0
         self.loop_end = 0
         self.data: np.ndarray | None = None     # [channels, frames] f32
@@ -46,6 +49,11 @@ class Buffer:
         """alBufferData (al/buffer.cpp:842): decode + upload to the pool."""
         fmt = _FMT_CHANNELS[channels] if isinstance(channels, str) else channels
         styp = FmtType(sample_type) if isinstance(sample_type, str) else sample_type
+        if fmt in (FmtChannels.BFORMAT2D, FmtChannels.BFORMAT3D,
+                   FmtChannels.UHJ2, FmtChannels.UHJ3, FmtChannels.UHJ4,
+                   FmtChannels.SUPER_STEREO):
+            # B-Format and UHJ buffers are first-order (al/buffer.cpp:317-318)
+            ambi_order = ambi_order or 1
         nch = channels_from_fmt(fmt, ambi_order)
 
         if styp == FmtType.IMA4:

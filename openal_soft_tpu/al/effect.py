@@ -23,6 +23,15 @@ EFFECT_DEFAULTS: dict[str, dict] = {
     "convolution": {"buffer": None, "orient_at": (0.0, 0.0, -1.0),
                     "orient_up": (0.0, 1.0, 0.0)},
     "dedicated_lfe": {"gain": 1.0},
+    "chorus": {"waveform": 1, "rate": 1.1, "depth": 0.1, "feedback": 0.25,
+               "delay": 0.016, "phase": 90},
+    "flanger": {"waveform": 1, "rate": 0.27, "depth": 1.0, "feedback": -0.5,
+                "delay": 0.002, "phase": 0},
+    "compressor": {"onoff": True},
+    "distortion": {"edge": 0.2, "gain": 0.05, "lowpass_cutoff": 8000.0,
+                   "eq_center": 3600.0, "eq_bandwidth": 3600.0},
+    "autowah": {"attack_time": 0.06, "release_time": 0.06,
+                "resonance": 1000.0, "peak_gain": 11.22},
     # Standard reverb property set (AL_EFFECT_REVERB); eaxreverb extends it.
     "reverb": {
         "density": 1.0, "diffusion": 1.0, "gain": 0.32, "gain_hf": 0.89,

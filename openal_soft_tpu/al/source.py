@@ -111,10 +111,21 @@ class Source:
         v.props_dirty = True
 
 
+        from ..core.devformat import FmtChannels as _FC, is_ambisonic as _isamb
+
         buf0 = self.queue[0]
         v.fmt_channels = buf0.fmt_channels
         v.frequency = buf0.sample_rate
         v.ambi_order = buf0.ambi_order
+        v.is_ambisonic = _isamb(buf0.fmt_channels)
+        if v.is_ambisonic:
+            # UHJ decodes to N3D/FuMa-ordered B-Format (al/source.cpp:655-656)
+            from ..core.devformat import AmbiLayout, AmbiScaling
+            is_uhj = buf0.fmt_channels in (_FC.UHJ2, _FC.UHJ3, _FC.UHJ4,
+                                           _FC.SUPER_STEREO)
+            v.ambi_layout = AmbiLayout.FUMA if is_uhj else buf0.ambi_layout
+            v.ambi_scaling = (AmbiScaling.N3D if is_uhj
+                              else buf0.ambi_scaling)
         v.queue = [BufferItem(pool_offset=b.pool_offset, sample_len=b.sample_len,
                               loop_start=b.loop_start, loop_end=b.loop_end,
                               channels=b.channels) for b in self.queue]
@@ -140,6 +151,8 @@ class Source:
     def _num_rows(self, v: Voice, dev) -> int:
         from ..core import panning
 
+        if v.is_ambisonic:
+            return v.num_mix_channels()   # decoded B-Format lines
         hrtf = dev.layout.mode == panning.RenderMode.HRTF
         if v.fmt_channels == FmtChannels.MONO:
             return 2 if (hrtf and self.props.panning_enabled) else 1

@@ -315,6 +315,16 @@ class Context:
                 pos.append(v.position)
                 frac.append(v.position_frac)
                 if buf is not None:
+                    if c >= buf.channels and v.is_ambisonic:
+                        # UHJ2/SuperStereo T line etc: zero-filled channel
+                        # (core/voice.cpp:986-987).
+                        s_off.append(0)
+                        s_len.append(0)
+                        l_start.append(0)
+                        l_end.append(1)
+                        h_loop.append(False)
+                        h_wrap.append(False)
+                        continue
                     chan = min(c, buf.channels - 1)
                     s_off.append(buf.pool_offset + chan * buf.sample_len)
                     s_len.append(buf.sample_len)

@@ -181,7 +181,7 @@ def _calc_non_attn(voice: Voice, cp: ContextParams, device) -> VoiceMixParams:
         wet.append(GainTriplet(
             base=f32(min(GAIN_MIX_MAX, f32(srcgain * f32(sp.gain) * cp.gain))),
             hf=f32(sp.gain_hf), lf=f32(sp.gain_lf)))
-    out = _calc_panning_and_filters(voice, 0.0, 0.0, -1.0, 0.0, 0.0, dry, wet, device)
+    out = _calc_panning_and_filters(voice, 0.0, 0.0, -1.0, 0.0, 0.0, dry, wet, device, cp)
     out.step, out.bank_row, out.sf = step, row, sf
     return out
 
@@ -337,14 +337,15 @@ def _calc_attn(voice: Voice, cp: ContextParams, device) -> VoiceMixParams:
         spread = f32(np.arcsin(f32(props.radius) / distance) * 2.0)
 
     out = _calc_panning_and_filters(voice, tosource[0], tosource[1], tosource[2],
-                                    distance, spread, dry, wet, device)
+                                    distance, spread, dry, wet, device, cp)
     out.step, out.bank_row, out.sf = step, row, sf
     return out
 
 
 def _calc_panning_and_filters(voice: Voice, xpos, ypos, zpos, distance, spread,
                               dry: GainTriplet, wet: list[GainTriplet],
-                              device) -> VoiceMixParams:
+                              device, cp: ContextParams | None = None
+                              ) -> VoiceMixParams:
     """CalcPanningAndFilters (alu.cpp:1467-1653), normal/pairwise modes.
 
     HRTF panning is handled by _calc_hrtf_channel below; ambisonic source
@@ -371,7 +372,11 @@ def _calc_panning_and_filters(voice: Voice, xpos, ypos, zpos, distance, spread,
                                       float(-np.cos(f32(a))))))
             chans = newchans
     elif is_ambisonic(voice.fmt_channels):
-        raise NotImplementedError("ambisonic/UHJ source panning lands in a later phase")
+        _calc_ambisonic_panning(voice, out, xpos, ypos, zpos, distance, spread,
+                                dry, wet, device, cp)
+        voice.has_hrtf = False
+        _set_voice_filters(voice, out, dry, wet, device)
+        return out
     else:
         chans = CHAN_POS_MAPS[voice.fmt_channels]
 
@@ -386,7 +391,14 @@ def _calc_panning_and_filters(voice: Voice, xpos, ypos, zpos, distance, spread,
         _calc_normal_panning(voice, out, chans, xpos, ypos, zpos, distance, spread,
                              dry, wet, device)
 
-    # Direct/send filters (alu.cpp:1615-1652)
+    _set_voice_filters(voice, out, dry, wet, device)
+    return out
+
+
+def _set_voice_filters(voice: Voice, out: VoiceMixParams, dry, wet, device):
+    """Direct/send filters (alu.cpp:1615-1652)."""
+    props = voice.props
+    numsends = device.num_aux_sends
     inv_sr = f32(1.0 / device.sample_rate)
     hf_norm = f32(props.direct_hf_reference * inv_sr)
     lf_norm = f32(props.direct_lf_reference * inv_sr)
@@ -412,7 +424,86 @@ def _calc_panning_and_filters(voice: Voice, xpos, ypos, zpos, distance, spread,
             "highshelf", hfn, ghf, _rcpq_from_slope(ghf, 1.0))
         out.send_hp_coeffs[i] = spec.biquad_set_params(
             "lowshelf", lfn, glf, _rcpq_from_slope(glf, 1.0))
-    return out
+
+
+def _calc_ambisonic_panning(voice: Voice, out: VoiceMixParams, xpos, ypos,
+                            zpos, distance, spread, dry, wet, device,
+                            cp: ContextParams | None = None):
+    """CalcAmbisonicPanning (alc/alu.cpp:911-1076) for B-Format/UHJ sources.
+
+    The W channel pans like a mono source blended by "coverage" (spread);
+    the full B-Format signal is rotated by the source orientation.  NFC is
+    not yet applied (core/filters/nfc.cpp lands separately).
+    """
+    from .devformat import AmbiLayout, AmbiScaling, FmtChannels
+
+    props = voice.props
+    layout = device.layout
+    numsends = device.num_aux_sends
+
+    coverage = (f32(1.0) if not distance > np.finfo(np.float32).eps
+                else f32(0.5 / np.pi * spread))
+
+    scales = {
+        AmbiScaling.FUMA: ambidefs.FROM_FUMA,
+        AmbiScaling.SN3D: ambidefs.FROM_SN3D,
+    }.get(voice.ambi_scaling, np.ones(MAX_AMBI_CHANNELS, f32))
+
+    pos = np.array([xpos, ypos, zpos], f32)
+    if layout.mode == panning.RenderMode.PAIRWISE:
+        pos = panning.scale_azimuth_front3_2(pos)
+    coeffs = ambidefs.calc_direction_coeffs(pos, 0.0).copy()
+
+    def pan(chan_idx, cf, gain_base, wet_gains):
+        out.dry_target[chan_idx] = panning.compute_pan_gains(
+            layout.dry_acn, layout.dry_scale, cf, gain_base)
+        for i in range(numsends):
+            slot = props.send[i].slot
+            if slot is not None:
+                out.wet_target[chan_idx, i, :slot.wet_channels] = \
+                    panning.compute_pan_gains(slot.wet_acn, slot.wet_scale,
+                                              cf, wet_gains[i])
+
+    if not coverage > 0.0:
+        pan(0, coeffs, f32(dry.base * scales[0]),
+            [f32(w.base * scales[0]) for w in wet])
+        return
+
+    # Rotation from the source orientation (first-order; higher device
+    # orders would extend this with the recursive SH rotator, alu.cpp:799).
+    n, _ = _normalize(np.array(props.orient_at, f32))
+    v, _ = _normalize(np.array(props.orient_up, f32))
+    if not props.head_relative:
+        # cparams matrix is row-major listener rotation; apply like the
+        # reference's Matrix * Vector (alu.cpp:981-985).
+        if cp is not None:
+            # Same vector-matrix convention as the listener-space transform
+            # in _calc_attn (the reference's Matrix * Vector).
+            n = (n @ cp.matrix[:3, :3]).astype(f32)
+            v = (v @ cp.matrix[:3, :3]).astype(f32)
+    u, _ = _normalize(np.cross(n, v).astype(f32))
+
+    shrot = np.zeros((MAX_AMBI_CHANNELS, MAX_AMBI_CHANNELS), f32)
+    shrot[0, 0] = 1.0
+    shrot[1, 1], shrot[1, 2], shrot[1, 3] = u[0], -u[1], u[2]
+    shrot[2, 1], shrot[2, 2], shrot[2, 3] = -v[0], v[1], -v[2]
+    shrot[3, 1], shrot[3, 2], shrot[3, 3] = -n[0], n[1], -n[2]
+    mixmatrix = shrot
+
+    is2d = voice.fmt_channels == FmtChannels.BFORMAT2D
+    index_map = (ambidefs.INDEX_FROM_FUMA_2D if is2d
+                 else ambidefs.INDEX_FROM_FUMA)
+    if voice.ambi_layout == AmbiLayout.ACN:
+        index_map = (ambidefs.INDEX_FROM_ACN_2D if is2d
+                     else ambidefs.INDEX_FROM_ACN)
+
+    coeffs *= f32((1.0 - coverage) * scales[0])
+    for c in range(out.n_channels):
+        acn = int(index_map[c])
+        scale = f32(scales[acn] * coverage)
+        cf = (mixmatrix[acn, :len(coeffs)] * scale + coeffs).astype(f32)
+        pan(c, cf, dry.base, [w.base for w in wet])
+        coeffs = np.zeros_like(coeffs)
 
 
 def _rcpq_from_slope(gain: f32, slope: float) -> f32:

@@ -38,6 +38,7 @@ from ..ops import hrtf_mix
 from ..ops import mix as mix_ops
 from ..ops import resample as rs_ops
 from ..ops import tables
+from ..ops import uhj as uhj_ops
 from ..ops.pallas import resample2 as rs_pallas
 from . import context as ctx_mod
 from . import hrtf as hrtf_mod
@@ -252,8 +253,8 @@ class RenderDevice:
             self.ir_size = self.hrtf_store.ir_size
             self._direct_hrtf = hrtf_mod.build_direct_hrtf(
                 self.hrtf_store, self.ir_size, ambi_order)
-            self._direct_coeffs = jnp.asarray(self._direct_hrtf.coeffs)
-            self._direct_hf_scales = jnp.asarray(self._direct_hrtf.hf_scales)
+            self._direct_coeffs = np.asarray(self._direct_hrtf.coeffs)
+            self._direct_hf_scales = np.asarray(self._direct_hrtf.hf_scales)
             self._hrtf_splitter = f_ops.BandSplitterKernels(
                 float(f_ops.band_splitter_coeff(700.0 / self.sample_rate)),
                 variant_3arg=True)
@@ -262,7 +263,9 @@ class RenderDevice:
         self.table = ParamTable(capacity, self.n_dry, num_aux_sends,
                                 MAX_AMBI_CHANNELS)
         self._free_rows = list(range(capacity - 1, -1, -1))
-        self._bank = {k: jnp.asarray(v) for k, v in tables.weight_bank().items()}
+        # Host numpy: closed-over constants materialize on whatever backend
+        # traces them (the virtual-CPU sharding mesh as well as the TPU).
+        self._bank = {k: np.asarray(v) for k, v in tables.weight_bank().items()}
         self._bank_pad = None   # built lazily for the Pallas resampler
         self._taps = 4  # raised when voices use bsinc resamplers
         # The Pallas resampler is the TPU production path; the jnp path is
@@ -281,6 +284,7 @@ class RenderDevice:
         self._carry: np.ndarray | None = None  # rendered-ahead frames (f32)
         self._derived_cache: dict = {}
         self._derived_fn = None
+        self._uhj_groups: dict = {"u2": [], "u3": [], "u4": [], "ss": []}
 
         # Output stage (alc/alc.cpp:1677-1763): dither for 8/16-bit output,
         # limiter for all integer formats (headroom-derived threshold).
@@ -299,10 +303,12 @@ class RenderDevice:
                 return None
             out = m.copy()
             out[np.abs(out) <= 1.0e-5] = 0.0
-            return jnp.asarray(out)
+            return out
 
         self._dec_hf = _thresh(self.layout.dec_hf)
         self._dec_lf = _thresh(self.layout.dec_lf)
+        self._uhj_splitter = f_ops.BandSplitterKernels(
+            float(f_ops.band_splitter_coeff(self.layout.xover_f0norm)))
         self._splitter = (f_ops.BandSplitterKernels(
             float(f_ops.band_splitter_coeff(self.layout.xover_f0norm)))
             if self._dec_lf is not None else None)
@@ -347,8 +353,10 @@ class RenderDevice:
         self._cfg_dev = None
 
     def _chain_signature(self) -> tuple:
-        return tuple(getattr(s.state, "state_signature", lambda: s.effect_type)()
-                     for s in self.slots)
+        sig = tuple(getattr(s.state, "state_signature", lambda: s.effect_type)()
+                    for s in self.slots)
+        counts = tuple(len(self._uhj_groups[k]) for k in ("u2", "u3", "u4", "ss"))
+        return sig + (("uhj",) + counts if any(counts) else ())
 
     # --- device state pytree ---
 
@@ -374,13 +382,20 @@ class RenderDevice:
 
     def _render_one(self, state: dict, ev: dict, cfg: dict, pool: jax.Array,
                     T: int, taps: int, rs_plan: tuple | None = None,
-                    derived: dict = {}):
+                    derived: dict = {}, axis_name: str | None = None):
         """One block: returns (out [C,T], state', ev').
+
+        With ``axis_name`` set (multi-chip: called under shard_map with the
+        voice rows sharded over that mesh axis), the three cross-voice
+        reductions — the dry ambisonic bus, the wet slot buses, and the HRTF
+        accumulation spectra — become psums over ICI; the cheap post-voice
+        stages (effects, decode) run replicated.
 
         Evolving fields advance exactly as the host mirrors them: positions
         by the fixed-point step, current gains to targets, filter coeffs per
         the interp schedule, the fade counter to zero (with Current==Target
         the continued 64-sample "fade" of the reference is the identity)."""
+        T_res = T + (uhj_ops.PAD if self._uhj_active() else 0)
         if rs_plan is not None:
             span, winw = rs_plan
             x = rs_pallas.resample_voices_pallas2(
@@ -388,20 +403,22 @@ class RenderDevice:
                 cfg["loop_start"], cfg["loop_end"], cfg["has_loop"],
                 ev["has_wrapped"], ev["pos_int"], ev["pos_frac"],
                 cfg["increment"], cfg["bank_row"], cfg["sf"],
-                self._bank_pad, T, taps, span, winw)
+                self._bank_pad, T_res, taps, span, winw)
         else:
             x = rs_ops.resample_voices(
                 pool, cfg["src_off"], cfg["src_len"], cfg["loop_start"],
                 cfg["loop_end"], cfg["has_loop"], ev["has_wrapped"],
                 ev["pos_int"], ev["pos_frac"], cfg["increment"],
-                cfg["bank_row"], cfg["sf"], self._bank, T, taps)
+                cfg["bank_row"], cfg["sf"], self._bank, T_res, taps)
         x = jnp.where(cfg["active"][:, None], x, 0.0)
+        x, new_uhj = self._uhj_decode(x, state, cfg, T, axis_name)
 
         y, z2, cf2, cnt2 = f_ops.biquad_dual_interp_chunked(
             x, state["filter_z"], ev["filter_coeffs"], cfg["filter_target"],
             ev["filter_counter"])
         x_mix = jnp.where(cfg["filter_active"][:, None], y, x)
         new_state = dict(state)
+        new_state.update(new_uhj)
         # Inactive filters are cleared each block (DoFilters, voice.cpp:254).
         fa = cfg["filter_active"]
         new_state["filter_z"] = jnp.where(fa[:, None, None], z2, 0.0)
@@ -432,6 +449,8 @@ class RenderDevice:
         fade = min(GAIN_FADE_SAMPLES, T)
         dry, dry_cur2 = mix_ops.mix_voices(x_mix, ev["dry_cur"], dry_tgt,
                                            ev["fade"], fade)
+        if axis_name is not None:
+            dry = jax.lax.psum(dry, axis_name)
         new_ev["dry_cur"] = dry_cur2
 
         # --- auxiliary sends + effect slots ------------------------------
@@ -462,6 +481,8 @@ class RenderDevice:
                     xs, ev["wet_cur"][:, snd, :B], wet_tgt, ev["fade"],
                     group, n_slots + 1, fade)
                 wet_bus = wet_bus + bus_s[:n_slots]
+            if axis_name is not None:
+                wet_bus = jax.lax.psum(wet_bus, axis_name)
                 new_ev["wet_cur"] = new_ev["wet_cur"].at[:, snd, :B].set(wet_cur2)
             new_state["send_filter_z"] = jnp.stack(new_sendz, axis=1)
             new_ev["send_filter_coeffs"] = jnp.stack(new_scf, axis=1)
@@ -489,6 +510,8 @@ class RenderDevice:
                 x_cat, derived["C_new"], cfg["hrtf_delay"], g_eff,
                 derived["C_old"], cfg["hrtf_old_delay"],
                 cfg["hrtf_old_gain"], ev["fade"], cfg["active"], T, fade, nfft)
+            if axis_name is not None:
+                accum_f = jax.lax.psum(accum_f, axis_name)
             # Dry ambi bus (B-Format/UHJ voices) through the baked decode.
             scaled, sp2 = self._hrtf_splitter.hf_scale(
                 dry, state["direct_split"], self._direct_hf_scales)
@@ -553,6 +576,140 @@ class RenderDevice:
         (state, _), outs = jax.lax.scan(body, (state, ev), None,
                                         length=n_blocks)
         return outs, state
+
+    def _uhj_active(self) -> bool:
+        return any(self._uhj_groups.values())
+
+    def _uhj_decode(self, x: jax.Array, state: dict, cfg: dict, T: int,
+                    axis_name: str | None = None):
+        """UHJ / Super Stereo source decode (core/voice.cpp:989-995).
+
+        Voices' L/R(/T/Q) rows are gathered from the resampled population
+        with one-hot MXU contractions (no gathers), decoded batched with the
+        default IIR quality tier (ops/uhj.py; the FIR tiers exist for the
+        uhj-decode-quality config), LF-shelved for UHJ2/SuperStereo
+        (Voice::prepare, core/voice.cpp:1290-1317), and scattered back over
+        their rows as W/X/Y(/Z).
+        """
+        if not self._uhj_active():
+            return x[:, :T] if x.shape[1] != T else x, {}
+        hi = jax.lax.Precision.HIGHEST
+        new_state: dict = {}
+        x_out = x[:, :T]
+        scale_rows = []
+        for kind, C, n_in in (("u2", 3, 2), ("u3", 3, 3), ("u4", 4, 4),
+                              ("ss", 3, 2)):
+            n = len(self._uhj_groups[kind])
+            if not n:
+                continue
+            G = cfg[f"uhj_g_{kind}"]                       # [n*C, L] one-hot
+            chans = jnp.einsum("ul,lt->ut", G, x, precision=hi)
+            if axis_name is not None:
+                chans = jax.lax.psum(chans, axis_name)
+            chans = chans.reshape(n, C, x.shape[1])
+            fnames = self._uhj_filters(kind)
+            st = {f: state[f"uhj_{kind}_{f}"] for f in fnames}
+            if kind == "ss":
+                dec, st2 = uhj_ops.super_stereo_decode_iir(
+                    chans, st, cfg["uhj_width"], T)
+            else:
+                dec, st2 = uhj_ops.uhj_decode_iir(chans, st, T, n_in)
+            for f in fnames:
+                new_state[f"uhj_{kind}_{f}"] = st2[f]
+            if kind in ("u2", "ss"):
+                scale_rows.append((kind, n, dec))
+            else:
+                flat = dec.reshape(n * C, T)
+                mask = jnp.sum(G, axis=0)                  # [L] 1 on our rows
+                x_out = x_out * (1.0 - mask[:, None]) + jnp.einsum(
+                    "ul,ut->lt", G, flat, precision=hi)
+        if scale_rows:
+            # UHJ2/SuperStereo LF shelving (sWLFScale/sXYLFScale).
+            cat = jnp.concatenate([d.reshape(-1, T) for _, _, d in scale_rows])
+            lf = jnp.concatenate([
+                jnp.tile(jnp.asarray([0.661, 1.293, 1.293], jnp.float32), n)
+                for _, n, _ in scale_rows])
+            scaled, sp2 = self._uhj_splitter.scale(
+                cat, state["uhj_split"], jnp.float32(1.0), lf[:, None])
+            new_state["uhj_split"] = sp2
+            off = 0
+            for kind, n, _ in scale_rows:
+                G = cfg[f"uhj_g_{kind}"]
+                flat = scaled[off:off + n * 3]
+                off += n * 3
+                mask = jnp.sum(G, axis=0)
+                x_out = x_out * (1.0 - mask[:, None]) + jnp.einsum(
+                    "ul,ut->lt", G, flat, precision=hi)
+        return x_out, new_state
+
+    @staticmethod
+    def _uhj_filters(kind: str) -> tuple:
+        base = ("f2dt", "f1s", "f1dt", "f2s")
+        return base + ("f1q",) if kind == "u4" else base
+
+    def _refresh_uhj_groups(self) -> None:
+        """Rebuild UHJ voice groups + carried decode state on voice churn."""
+        from .devformat import FmtChannels as FC
+
+        kinds = {FC.UHJ2: "u2", FC.UHJ3: "u3", FC.UHJ4: "u4",
+                 FC.SUPER_STEREO: "ss"}
+        groups = {"u2": [], "u3": [], "u4": [], "ss": []}
+        for ctx in self.contexts:
+            for v in ctx.voices:
+                k = kinds.get(v.fmt_channels)
+                if k and v.rows and v.state in (PlayState.PLAYING,
+                                                PlayState.STOPPING):
+                    groups[k].append(v)
+        old = self._uhj_groups
+        if all([id(v) for v in old[k]] == [id(v) for v in groups[k]]
+               for k in groups):
+            return
+        # Remap carried filter states by voice identity.
+        for k in groups:
+            n_new = len(groups[k])
+            for f in self._uhj_filters(k):
+                name = f"uhj_{k}_{f}"
+                old_arr = (np.asarray(self._state[name])
+                           if name in self._state else None)
+                if not n_new:
+                    self._state.pop(name, None)
+                    continue
+                arr = np.zeros((n_new, 4, 2), f32)
+                for i, v in enumerate(groups[k]):
+                    if v in old[k] and old_arr is not None:
+                        arr[i] = old_arr[old[k].index(v)]
+                self._state[name] = jnp.asarray(arr)
+        n_split_new = 3 * (len(groups["u2"]) + len(groups["ss"]))
+        if n_split_new:
+            old_split = (np.asarray(self._state["uhj_split"])
+                         if "uhj_split" in self._state else None)
+            arr = np.zeros((n_split_new, 3), f32)
+            oldv = old["u2"] + old["ss"]
+            for i, v in enumerate(groups["u2"] + groups["ss"]):
+                if v in oldv and old_split is not None:
+                    j = oldv.index(v)
+                    arr[3 * i:3 * i + 3] = old_split[3 * j:3 * j + 3]
+            self._state["uhj_split"] = jnp.asarray(arr)
+        else:
+            self._state.pop("uhj_split", None)
+        self._uhj_groups = groups
+
+    def _uhj_cfg(self, cfg: dict) -> None:
+        """One-hot gather matrices + widths for the active UHJ groups."""
+        L = self.capacity
+        for kind, C in (("u2", 3), ("u3", 3), ("u4", 4), ("ss", 3)):
+            voices = self._uhj_groups[kind]
+            if not voices:
+                continue
+            G = np.zeros((len(voices) * C, L), f32)
+            for i, v in enumerate(voices):
+                for c, r in enumerate(v.rows[:C]):
+                    G[i * C + c, r] = 1.0
+            cfg[f"uhj_g_{kind}"] = jnp.asarray(G)
+        if self._uhj_groups["ss"]:
+            cfg["uhj_width"] = jnp.asarray(np.array(
+                [min(v.props.enh_width, 0.7) for v in self._uhj_groups["ss"]],
+                f32))
 
     def _hrtf_derived(self, cfg: dict, T: int) -> dict:
         """HRIR spectra: config-only, computed once per config change and
@@ -637,8 +794,10 @@ class RenderDevice:
 
         if self._cfg_dev is None:
             self._derived_cache = {}
+            self._refresh_uhj_groups()
             cfg = {k: jnp.asarray(getattr(self.table, k))
                    for k in ParamTable._CONFIG}
+            self._uhj_cfg(cfg)
             mask = self._pending_resets_mask()
             self._cfg_has_resets = bool(mask.any())   # host-known, no readback
             cfg["reset_rows"] = jnp.asarray(mask)
@@ -689,7 +848,8 @@ class RenderDevice:
             return None   # sub-window loops fall back to the jnp gather path
         if self._bank_pad is None:
             self._bank_pad = rs_pallas.pad_bank_taps(tables.weight_bank())
-        return (rs_pallas.span_for_increment(max_inc, T, winw), winw)
+        T_res = T + (uhj_ops.PAD if self._uhj_active() else 0)
+        return (rs_pallas.span_for_increment(max_inc, T_res, winw), winw)
 
     def _pending_resets_mask(self) -> np.ndarray:
         mask = np.zeros(self.capacity, bool)

@@ -8,7 +8,11 @@ traced into the render graph, the analog of EffectState::process).
 
 from .base import EffectState, effect_registry, get_effect_factory
 
-from . import convolution  # noqa: F401  (each module registers itself)
+from . import autowah  # noqa: F401  (each module registers itself)
+from . import chorus  # noqa: F401
+from . import compressor  # noqa: F401
+from . import convolution  # noqa: F401
+from . import distortion  # noqa: F401
 from . import dedicated  # noqa: F401
 from . import echo  # noqa: F401
 from . import equalizer  # noqa: F401

@@ -134,6 +134,18 @@ class DelayRing:
         return jax.vmap(lambda row: jax.lax.dynamic_slice(row, (start,), (T,)))(ext)
 
     @staticmethod
+    def read_window(state: dict, lookback: int, T: int):
+        """[lines, lookback+T] window: ring content for block positions
+        [-lookback, T) relative to this block's write start (call after
+        write to see this block's samples)."""
+        buf = state["buf"]
+        length = buf.shape[1]
+        ext = jnp.concatenate([buf, buf[:, :lookback + T]], axis=1)
+        start = ((state["offset"] - lookback) % length).astype(jnp.int32)
+        return jax.vmap(lambda row: jax.lax.dynamic_slice(
+            row, (start,), (lookback + T,)))(ext)
+
+    @staticmethod
     def write(state: dict, values: jax.Array, T: int) -> dict:
         buf = state["buf"]
         off = state["offset"]

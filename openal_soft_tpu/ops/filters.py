@@ -92,7 +92,7 @@ def _chunk_coeff_schedule(coeffs, target, counter, n_chunks: int, chunk: int):
         return (cf, cnt2), out
 
     (cf_end, cnt_end), cf_all = jax.lax.scan(sched, (coeffs, counter), None,
-                                             length=n_chunks)
+                                             length=n_chunks, unroll=True)
     return cf_all, cf_end, cnt_end
 
 
@@ -127,38 +127,53 @@ def _biquad_chunked_single(x, z, cf_all, chunk: int):
 
     xs = jnp.swapaxes(x.T.reshape(N, chunk, L), 0, 1)               # [K,N,L]
 
+    # All the 2x2 state-space products below are written as explicit
+    # elementwise arithmetic: einsum on [.., 2, 2] batches lowers to padded
+    # MXU dots that cost ~100x the flops, especially inside the outer
+    # per-block scan.  The short scans are unrolled for the same reason.
+    A00, A01 = A[..., 0, 0], A[..., 0, 1]
+    A10, A11 = A[..., 1, 0], A[..., 1, 1]
+    B0, B1 = B[..., 0], B[..., 1]
+
     # Zero-state responses + input-driven end states, all chunks in parallel.
     def zs_step(s, xk):
-        y = s[..., 0] + b0 * xk
-        s = jnp.einsum("nlij,nlj->nli", A, s,
-                       precision=jax.lax.Precision.HIGHEST) + B * xk[..., None]
-        return s, y
+        s0, s1 = s[..., 0], s[..., 1]
+        y = s0 + b0 * xk
+        n0 = A00 * s0 + A01 * s1 + B0 * xk
+        n1 = A10 * s0 + A11 * s1 + B1 * xk
+        return jnp.stack([n0, n1], axis=-1), y
 
-    s_drive, y_zero = jax.lax.scan(zs_step, jnp.zeros((N, L, 2), x.dtype), xs)
+    s_drive, y_zero = jax.lax.scan(zs_step, jnp.zeros((N, L, 2), x.dtype), xs,
+                                   unroll=True)
 
     # A^chunk by repeated squaring (chunk is a power of two).
-    M = A
+    M00, M01, M10, M11 = A00, A01, A10, A11
     for _ in range(chunk.bit_length() - 1):
-        M = jnp.einsum("nlij,nljk->nlik", M, M,
-                       precision=jax.lax.Precision.HIGHEST)
+        M00, M01, M10, M11 = (M00 * M00 + M01 * M10, M00 * M01 + M01 * M11,
+                              M10 * M00 + M11 * M10, M10 * M01 + M11 * M11)
 
     # Sequential chunk-state recurrence (N tiny steps).
     def chain(s, inputs):
-        Mk, dk = inputs
-        return jnp.einsum("lij,lj->li", Mk, s,
-                          precision=jax.lax.Precision.HIGHEST) + dk, s
+        m00, m01, m10, m11, d = inputs
+        s0, s1 = s[..., 0], s[..., 1]
+        n0 = m00 * s0 + m01 * s1 + d[..., 0]
+        n1 = m10 * s0 + m11 * s1 + d[..., 1]
+        return jnp.stack([n0, n1], axis=-1), s
 
-    z_out, s_starts = jax.lax.scan(chain, z, (M, s_drive))
+    z_out, s_starts = jax.lax.scan(chain, z, (M00, M01, M10, M11, s_drive),
+                                   unroll=True)
 
     # Initial-state responses y_state[k] = (C·A^k)·s_start with C = [1, 0].
     def back_step(w, _):
-        return jnp.einsum("nlij,nli->nlj", A, w,
-                          precision=jax.lax.Precision.HIGHEST), w
+        w0_, w1_ = w[..., 0], w[..., 1]
+        return jnp.stack([A00 * w0_ + A10 * w1_,
+                          A01 * w0_ + A11 * w1_], axis=-1), w
 
     w0 = jnp.broadcast_to(jnp.array([1.0, 0.0], x.dtype), (N, L, 2))
-    _, ws = jax.lax.scan(back_step, w0, None, length=chunk)         # [K,N,L,2]
-    y_state = jnp.einsum("knlj,nlj->knl", ws, s_starts,
-                         precision=jax.lax.Precision.HIGHEST)
+    _, ws = jax.lax.scan(back_step, w0, None, length=chunk,
+                         unroll=True)                            # [K,N,L,2]
+    y_state = (ws[..., 0] * s_starts[None, ..., 0]
+               + ws[..., 1] * s_starts[None, ..., 1])            # [K,N,L]
 
     y = jnp.transpose(y_zero + y_state, (2, 1, 0)).reshape(L, T)
     z_out = jnp.stack([z_out[:, 0], z_out[:, 1] * delta[-1]], -1)
@@ -347,12 +362,13 @@ class BandSplitterKernels:
         G = np.stack([Apow[K - 1 - i] @ B for i in range(K)], axis=1)  # [3,K]
         W_lp = np.stack([C_lp @ Apow[k] for k in range(K)])            # [K,3]
         W_ap = np.stack([C_ap @ Apow[k] for k in range(K)])
-        self.T_lp = jnp.asarray(T_lp.astype(np.float32))
-        self.T_ap = jnp.asarray(T_ap.astype(np.float32))
-        self.G = jnp.asarray(G.astype(np.float32))
-        self.W_lp = jnp.asarray(W_lp.astype(np.float32))
-        self.W_ap = jnp.asarray(W_ap.astype(np.float32))
-        self.M = jnp.asarray(Apow[K].astype(np.float32))
+        # numpy: trace-time constants (backend-agnostic; see device notes)
+        self.T_lp = T_lp.astype(np.float32)
+        self.T_ap = T_ap.astype(np.float32)
+        self.G = G.astype(np.float32)
+        self.W_lp = W_lp.astype(np.float32)
+        self.W_ap = W_ap.astype(np.float32)
+        self.M = Apow[K].astype(np.float32)
 
     def _run(self, x: jax.Array, state: jax.Array):
         """Returns (lp [D,T], ap [D,T], state' [D,3])."""
@@ -369,7 +385,7 @@ class BandSplitterKernels:
             return jnp.einsum("ij,dj->di", self.M, s, precision=hi) + dk, s
 
         s_out, s_starts = jax.lax.scan(chain, state,
-                                       jnp.swapaxes(drive, 0, 1))
+                                       jnp.swapaxes(drive, 0, 1), unroll=True)
         s_starts = jnp.swapaxes(s_starts, 0, 1)                  # [D,N,3]
         lp = lp_zero + jnp.einsum("dnj,mj->dnm", s_starts, self.W_lp,
                                   precision=hi)

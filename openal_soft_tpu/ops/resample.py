@@ -85,10 +85,12 @@ def voice_weights(bank: dict, bank_row: jax.Array, sf: jax.Array, taps: int):
     the cubic/fast paths).
     """
     lo = RESAMPLE_TAPS // 2 - taps // 2
-    fil = bank["fil"][bank_row, :, lo:lo + taps]
-    phd = bank["phd"][bank_row, :, lo:lo + taps]
-    scd = bank["scd"][bank_row, :, lo:lo + taps]
-    spd = bank["spd"][bank_row, :, lo:lo + taps]
+    # jnp.asarray: the bank may be host numpy (a trace-time constant that
+    # must materialize on the tracing backend), and bank_row is traced.
+    fil = jnp.asarray(bank["fil"])[bank_row, :, lo:lo + taps]
+    phd = jnp.asarray(bank["phd"])[bank_row, :, lo:lo + taps]
+    scd = jnp.asarray(bank["scd"])[bank_row, :, lo:lo + taps]
+    spd = jnp.asarray(bank["spd"])[bank_row, :, lo:lo + taps]
     sfb = sf[:, None, None]
     return fil + sfb * scd, phd + sfb * spd
 

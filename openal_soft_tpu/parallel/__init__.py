@@ -1,5 +1,6 @@
-"""Multi-chip scaling: voice-axis sharding over a device mesh."""
+"""Multi-chip scaling: voice-axis sharding over a jax Mesh."""
 
-from .sharding import make_sharded_render_step
+from .sharding import (VOICE_AXIS, device_step_inputs,
+                       make_sharded_device_step)
 
-__all__ = ["make_sharded_render_step"]
+__all__ = ["VOICE_AXIS", "device_step_inputs", "make_sharded_device_step"]

@@ -2,17 +2,18 @@
 
 The reference is strictly single-process (SURVEY.md §2.2): its only
 parallelism is SIMD lanes and one RT mixer thread.  Here the voice
-population is SoA, so scaling across chips is a one-axis data parallelism:
-each device renders its shard of voices through resample→filter→mix, the
-per-shard dry (ambisonic) buses are combined with one ``psum`` over ICI, and
-the cheap post-process decode runs replicated.  All per-voice device state
-(filter z's, HRTF histories) shards with its rows, so no state ever moves
-between chips.
+population is SoA, so scaling across chips is one-axis data parallelism
+over the *flagship* render graph (core/device.py:_render_one): each device
+renders its shard of voices through resample→UHJ-decode→filter→mix→HRTF;
+the three cross-voice reductions — the dry ambisonic bus, the wet effect
+buses, and the HRTF accumulation spectra — combine with ``psum`` over ICI
+(the only collectives), and the cheap post-voice stages (effect engines,
+B-Format decode, the one inverse FFT) run replicated.  All per-voice
+device state (filter z's, HRTF/UHJ histories) shards with its rows, so no
+state ever moves between chips.
 """
 
 from __future__ import annotations
-
-import functools
 
 import numpy as np
 
@@ -21,83 +22,70 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
-from ..constants import GAIN_FADE_SAMPLES
-from ..ops import filters as f_ops
-from ..ops import mix as mix_ops
-from ..ops import resample as rs_ops
-
 VOICE_AXIS = "voices"
 
 
-def make_sharded_render_step(mesh: Mesh, bank: dict, dec_hf, dec_lf, split_coeff,
-                             taps: int, T: int):
-    """Build a pjit-style sharded block renderer.
+def _voice_spec(tree: dict, capacity: int) -> dict:
+    """P(VOICE_AXIS) for leading-dim==capacity arrays, replicate the rest."""
+    def spec(x):
+        x = np.asarray(x) if not hasattr(x, "shape") else x
+        if getattr(x, "ndim", 0) >= 1 and x.shape[0] == capacity:
+            return P(VOICE_AXIS)
+        return P()
+    return jax.tree.map(spec, tree)
 
-    Args:
-      mesh: 1-D device mesh with axis name VOICE_AXIS.
-      bank: resampler weight bank (replicated).
-      dec_hf/dec_lf: decode matrices (replicated; dec_lf may be None).
-      split_coeff: band-splitter coefficient for dual-band decode.
-      taps/T: static resampler window and block length.
-    Returns: f(state, params, pool) -> (out [C, T], new_state), where params
-      rows and state rows are sharded along the voice axis.
+
+def make_sharded_device_step(dev, mesh: Mesh, T: int):
+    """Shard the full RenderDevice block graph over the mesh's voice axis.
+
+    Returns f(state, ev, cfg, pool) -> (out [C, T], new_state) with rows and
+    per-voice state sharded; drop-in comparable with the single-device
+    ``dev._render_one``.  Uses the jnp resampler path (rs_plan=None): the
+    Pallas kernel targets the TPU backend and the validation mesh may be
+    virtual-CPU.
     """
-    # Keep decode matrices as host numpy: they trace into the graph as
-    # constants, so they materialize on whatever backend the mesh lives on
-    # (the virtual-CPU dryrun runs while the default backend is a TPU).
-    dec_hf = np.asarray(dec_hf)
-    dec_lf = np.asarray(dec_lf) if dec_lf is not None else None
+    L = dev.capacity
 
-    param_specs = {
-        # per-row fields shard on the leading (voice-line) axis
-        k: P(VOICE_AXIS)
-        for k in ("active", "playing", "fade", "pos_int", "pos_frac", "increment",
-                  "bank_row", "sf", "src_off", "src_len", "loop_start", "loop_end",
-                  "has_loop", "has_wrapped", "dry_cur", "dry_tgt", "filter_active",
-                  "filter_coeffs", "filter_target", "filter_counter")
-    }
-    state_specs = {"filter_z": P(VOICE_AXIS)}
-    if dec_lf is not None:
-        state_specs["split_state"] = P()  # replicated post-process state
-
-    def step(state, p, pool):
-        # Materialize constants inside the trace so they land on the mesh's
-        # backend, not the process-default one.
-        bank_c = {k: jnp.asarray(np.asarray(v)) for k, v in bank.items()}
-        x = rs_ops.resample_voices(
-            pool, p["src_off"], p["src_len"], p["loop_start"], p["loop_end"],
-            p["has_loop"], p["has_wrapped"], p["pos_int"], p["pos_frac"],
-            p["increment"], p["bank_row"], p["sf"], bank_c, T, taps)
-        x = jnp.where(p["active"][:, None], x, 0.0)
-        y, z2, _, _ = f_ops.biquad_dual_interp_chunked(
-            x, state["filter_z"], p["filter_coeffs"], p["filter_target"],
-            p["filter_counter"])
-        x_mix = jnp.where(p["filter_active"][:, None], y, x)
-        new_state = dict(state)
-        new_state["filter_z"] = jnp.where(p["filter_active"][:, None, None], z2, 0.0)
-
-        dry_tgt = jnp.where(p["playing"][:, None], p["dry_tgt"], 0.0)
-        dry_local, _ = mix_ops.mix_voices(x_mix, p["dry_cur"], dry_tgt, p["fade"],
-                                          min(GAIN_FADE_SAMPLES, T))
-        # Combine shard dry buses over ICI: the only cross-chip collective.
-        dry = jax.lax.psum(dry_local, VOICE_AXIS)
-
-        if dec_lf is not None:
-            hp, lp, sp_state = f_ops.band_split(dry, state["split_state"], split_coeff)
-            new_state["split_state"] = sp_state
-            out = (jnp.einsum("cd,dt->ct", dec_hf, hp,
-                              precision=jax.lax.Precision.HIGHEST)
-                   + jnp.einsum("cd,dt->ct", dec_lf, lp,
-                                precision=jax.lax.Precision.HIGHEST))
-        else:
-            out = jnp.einsum("cd,dt->ct", dec_hf, dry,
-                             precision=jax.lax.Precision.HIGHEST)
+    def step(state, ev, cfg, pool):
+        out, new_state, _ = dev._render_one(
+            state, ev, cfg, pool, T, dev._taps, None, {},
+            axis_name=VOICE_AXIS)
         return out, new_state
 
-    sharded = shard_map(
-        step, mesh=mesh,
-        in_specs=(state_specs, param_specs, P()),
-        out_specs=(P(), state_specs),
-        check_rep=False,
-    )
-    return jax.jit(sharded)
+    def build(state, ev, cfg, pool):
+        state_specs = _voice_spec(state, L)
+        ev_specs = _voice_spec(ev, L)
+        cfg_specs = _voice_spec(cfg, L)
+        # UHJ gather one-hots are [rows, L]: shard the voice-line axis.
+        for k in cfg_specs:
+            if isinstance(k, str) and k.startswith("uhj_g_"):
+                cfg_specs[k] = P(None, VOICE_AXIS)
+        sharded = shard_map(
+            step, mesh=mesh,
+            in_specs=(state_specs, ev_specs, cfg_specs, P()),
+            out_specs=(P(), state_specs),
+            check_rep=False)
+        return jax.jit(sharded)
+
+    return build
+
+
+def device_step_inputs(dev, T: int):
+    """Assemble (state, ev, cfg, pool) for a sharded step from a live device."""
+    from ..core.device import ParamTable
+
+    for ctx in dev.contexts:
+        ctx.process_updates()
+    if dev._cfg_dev is None:
+        dev._derived_cache = {}
+        dev._refresh_uhj_groups()
+        cfg = {k: jnp.asarray(getattr(dev.table, k))
+               for k in ParamTable._CONFIG}
+        dev._uhj_cfg(cfg)
+        cfg["reset_rows"] = jnp.asarray(dev._pending_resets_mask())
+        for i, slot in enumerate(dev.slots):
+            cfg[f"slot{i}"] = {k: jnp.asarray(v)
+                               for k, v in slot.compute_update().items()}
+        dev._cfg_dev = cfg
+    ev = dev.table.evolving_dict()
+    return dev._state, ev, dev._cfg_dev, dev.pool.device_array()
