@@ -34,16 +34,16 @@ def main() -> None:
     ctx = dev.create_context()
     rng = np.random.default_rng(42)
     t = np.arange(sample_rate) / sample_rate
-    tone_cache = {}
-    for i in range(n_voices):
-        fi = i % 48
-        if fi not in tone_cache:
-            freq = 110.0 * (2.0 ** (fi / 12.0))
-            tone_cache[fi] = (0.1 * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+    bufs = []
+    for fi in range(48):
+        freq = 110.0 * (2.0 ** (fi / 12.0))
+        tone = (0.1 * np.sin(2 * np.pi * freq * t)).astype(np.float32)
         buf = ctx.create_buffer()
-        buf.set_data(tone_cache[fi], "mono", "float32", sample_rate)
+        buf.set_data(tone, "mono", "float32", sample_rate)
+        bufs.append(buf)
+    for i in range(n_voices):
         src = ctx.create_source()
-        src.buffer(buf)
+        src.buffer(bufs[i % 48])
         src.looping = True
         src.set("position", tuple(rng.standard_normal(3) * 3.0))
         src.play()

@@ -32,6 +32,12 @@ EFFECT_DEFAULTS: dict[str, dict] = {
                    "eq_center": 3600.0, "eq_bandwidth": 3600.0},
     "autowah": {"attack_time": 0.06, "release_time": 0.06,
                 "resonance": 1000.0, "peak_gain": 11.22},
+    "pitch_shifter": {"coarse_tune": 12, "fine_tune": 0},
+    "frequency_shifter": {"frequency": 0.0, "left_direction": 0,
+                          "right_direction": 0},
+    "vocal_morpher": {"phoneme_a": 0, "phoneme_b": 10,
+                      "phoneme_a_coarse": 0, "phoneme_b_coarse": 0,
+                      "waveform": 0, "rate": 1.41},
     # Standard reverb property set (AL_EFFECT_REVERB); eaxreverb extends it.
     "reverb": {
         "density": 1.0, "diffusion": 1.0, "gain": 0.32, "gain_hf": 0.89,

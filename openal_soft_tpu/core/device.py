@@ -39,6 +39,7 @@ from ..ops import mix as mix_ops
 from ..ops import resample as rs_ops
 from ..ops import tables
 from ..ops import uhj as uhj_ops
+from ..ops.pallas import biquad as biq_pallas
 from ..ops.pallas import resample2 as rs_pallas
 from . import context as ctx_mod
 from . import hrtf as hrtf_mod
@@ -272,6 +273,7 @@ class RenderDevice:
         # the CPU/test reference (ARCHITECTURE.md "perf kernel tier").
         self._pallas_ok = jax.default_backend() == "tpu"
         self._cfg_dev = None
+        self._ev_dev = None   # device-evolved copy of the _EVOLVING fields
         self._cfg_has_resets = False
         self._pending_resets = set()
         self.contexts: list = []
@@ -413,9 +415,9 @@ class RenderDevice:
         x = jnp.where(cfg["active"][:, None], x, 0.0)
         x, new_uhj = self._uhj_decode(x, state, cfg, T, axis_name)
 
-        y, z2, cf2, cnt2 = f_ops.biquad_dual_interp_chunked(
+        y, z2, cf2, cnt2 = self._biquad(
             x, state["filter_z"], ev["filter_coeffs"], cfg["filter_target"],
-            ev["filter_counter"])
+            ev["filter_counter"], T)
         x_mix = jnp.where(cfg["filter_active"][:, None], y, x)
         new_state = dict(state)
         new_state.update(new_uhj)
@@ -462,11 +464,11 @@ class RenderDevice:
             new_sendz = []
             new_scf, new_scnt = [], []
             for snd in range(self.num_aux_sends):
-                ys, sz, scf, scnt = f_ops.biquad_dual_interp_chunked(
+                ys, sz, scf, scnt = self._biquad(
                     x, state["send_filter_z"][:, snd],
                     ev["send_filter_coeffs"][:, snd],
                     cfg["send_filter_target"][:, snd],
-                    ev["send_filter_counter"][:, snd])
+                    ev["send_filter_counter"][:, snd], T)
                 sfa = cfg["send_filter_active"][:, snd]
                 xs = jnp.where(sfa[:, None], ys, x)
                 new_sendz.append(jnp.where(sfa[:, None, None], sz, 0.0))
@@ -481,9 +483,9 @@ class RenderDevice:
                     xs, ev["wet_cur"][:, snd, :B], wet_tgt, ev["fade"],
                     group, n_slots + 1, fade)
                 wet_bus = wet_bus + bus_s[:n_slots]
+                new_ev["wet_cur"] = new_ev["wet_cur"].at[:, snd, :B].set(wet_cur2)
             if axis_name is not None:
                 wet_bus = jax.lax.psum(wet_bus, axis_name)
-                new_ev["wet_cur"] = new_ev["wet_cur"].at[:, snd, :B].set(wet_cur2)
             new_state["send_filter_z"] = jnp.stack(new_sendz, axis=1)
             new_ev["send_filter_coeffs"] = jnp.stack(new_scf, axis=1)
             new_ev["send_filter_counter"] = jnp.stack(new_scnt, axis=1)
@@ -565,7 +567,7 @@ class RenderDevice:
         if n_blocks == 1:
             out, state, ev = self._render_one(state, ev, cfg, pool, T, taps,
                                               rs_plan, derived)
-            return out[None], state
+            return out[None], state, ev
 
         def body(carry, _):
             st, e = carry
@@ -573,9 +575,16 @@ class RenderDevice:
                                           derived)
             return (st, e), out
 
-        (state, _), outs = jax.lax.scan(body, (state, ev), None,
-                                        length=n_blocks)
-        return outs, state
+        (state, ev), outs = jax.lax.scan(body, (state, ev), None,
+                                         length=n_blocks)
+        return outs, state, ev
+
+    def _biquad(self, x, z, cf, tgt, cnt, T: int):
+        """Voice-channel dual biquad: Pallas (TPU, exact reference TDF2 op
+        order) or the chunk-parallel XLA form (CPU/test reference)."""
+        if self._pallas_ok and x.shape[0] % 1024 == 0 and T % 256 == 0:
+            return biq_pallas.biquad_dual_interp_pallas(x, z, cf, tgt, cnt)
+        return f_ops.biquad_dual_interp_chunked(x, z, cf, tgt, cnt)
 
     def _uhj_active(self) -> bool:
         return any(self._uhj_groups.values())
@@ -616,7 +625,9 @@ class RenderDevice:
                 dec, st2 = uhj_ops.uhj_decode_iir(chans, st, T, n_in)
             for f in fnames:
                 new_state[f"uhj_{kind}_{f}"] = st2[f]
-            if kind in ("u2", "ss"):
+            if kind == "u2":
+                # Only FmtUHJ2 gets the quad-decode LF shelving
+                # (core/voice.cpp:1288-1317); SuperStereo does not.
                 scale_rows.append((kind, n, dec))
             else:
                 flat = dec.reshape(n * C, T)
@@ -624,7 +635,7 @@ class RenderDevice:
                 x_out = x_out * (1.0 - mask[:, None]) + jnp.einsum(
                     "ul,ut->lt", G, flat, precision=hi)
         if scale_rows:
-            # UHJ2/SuperStereo LF shelving (sWLFScale/sXYLFScale).
+            # UHJ2 LF shelving (sWLFScale/sXYLFScale).
             cat = jnp.concatenate([d.reshape(-1, T) for _, _, d in scale_rows])
             lf = jnp.concatenate([
                 jnp.tile(jnp.asarray([0.661, 1.293, 1.293], jnp.float32), n)
@@ -679,13 +690,13 @@ class RenderDevice:
                     if v in old[k] and old_arr is not None:
                         arr[i] = old_arr[old[k].index(v)]
                 self._state[name] = jnp.asarray(arr)
-        n_split_new = 3 * (len(groups["u2"]) + len(groups["ss"]))
+        n_split_new = 3 * len(groups["u2"])
         if n_split_new:
             old_split = (np.asarray(self._state["uhj_split"])
                          if "uhj_split" in self._state else None)
             arr = np.zeros((n_split_new, 3), f32)
-            oldv = old["u2"] + old["ss"]
-            for i, v in enumerate(groups["u2"] + groups["ss"]):
+            oldv = old["u2"]
+            for i, v in enumerate(groups["u2"]):
                 if v in oldv and old_split is not None:
                     j = oldv.index(v)
                     arr[3 * i:3 * i + 3] = old_split[3 * j:3 * j + 3]
@@ -805,9 +816,15 @@ class RenderDevice:
                 cfg[f"slot{i}"] = {k: jnp.asarray(v)
                                    for k, v in slot.compute_update().items()}
             self._cfg_dev = cfg
-        ev = self.table.evolving_dict()
+            # Evolving fields changed with the config (every host-side write
+            # to an _EVOLVING field coincides with mark_config_dirty); in
+            # steady state the device's own evolved copy is bit-identical to
+            # the host mirror, so nothing is uploaded.
+            self._ev_dev = None
+        ev = (self._ev_dev if self._ev_dev is not None
+              else self.table.evolving_dict())
 
-        blocks, self._state = self._render_chunk(
+        blocks, self._state, self._ev_dev = self._render_chunk(
             self._state, ev, self._cfg_dev, self.pool.device_array(), T,
             n_blocks, self._taps, self._chain_signature(), self._rs_plan(T),
             self._get_derived(T))

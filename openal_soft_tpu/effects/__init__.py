@@ -16,8 +16,11 @@ from . import distortion  # noqa: F401
 from . import dedicated  # noqa: F401
 from . import echo  # noqa: F401
 from . import equalizer  # noqa: F401
+from . import fshifter  # noqa: F401
 from . import modulator  # noqa: F401
 from . import null  # noqa: F401
+from . import pshifter  # noqa: F401
 from . import reverb  # noqa: F401
+from . import vmorpher  # noqa: F401
 
 __all__ = ["EffectState", "effect_registry", "get_effect_factory"]

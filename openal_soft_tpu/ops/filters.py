@@ -180,6 +180,69 @@ def _biquad_chunked_single(x, z, cf_all, chunk: int):
     return y, z_out
 
 
+def linear2_chunked(x: jax.Array, s: jax.Array, A: jax.Array, B: jax.Array,
+                    C: jax.Array, D: jax.Array, chunk: int = SAMPLES_PER_STEP):
+    """Generic 2-state linear filter y = C·s + D·x, s' = A·s + B·x,
+    chunk-parallel like _biquad_chunked_single but with per-line constant
+    (traced) state-space matrices — used by filters whose coefficients are
+    fixed within a block (e.g. the vocal morpher's formant SVFs,
+    alc/effects/vmorpher.cpp:109-138).
+
+    x: [L, T]; s: [L, 2]; A: [L, 2, 2]; B/C: [L, 2]; D: [L].
+    Returns (y [L, T], s' [L, 2]).
+    """
+    L, T = x.shape
+    N = T // chunk
+    A00 = jnp.broadcast_to(A[:, 0, 0], (N, L))
+    A01 = jnp.broadcast_to(A[:, 0, 1], (N, L))
+    A10 = jnp.broadcast_to(A[:, 1, 0], (N, L))
+    A11 = jnp.broadcast_to(A[:, 1, 1], (N, L))
+    B0 = jnp.broadcast_to(B[:, 0], (N, L))
+    B1 = jnp.broadcast_to(B[:, 1], (N, L))
+    C0, C1, Dv = C[:, 0], C[:, 1], D
+
+    xs = jnp.swapaxes(x.T.reshape(N, chunk, L), 0, 1)               # [K,N,L]
+
+    def zs_step(st, xk):
+        s0, s1 = st[..., 0], st[..., 1]
+        y = C0 * s0 + C1 * s1 + Dv * xk
+        n0 = A00 * s0 + A01 * s1 + B0 * xk
+        n1 = A10 * s0 + A11 * s1 + B1 * xk
+        return jnp.stack([n0, n1], axis=-1), y
+
+    s_drive, y_zero = jax.lax.scan(zs_step, jnp.zeros((N, L, 2), x.dtype), xs,
+                                   unroll=True)
+
+    M00, M01, M10, M11 = A00, A01, A10, A11
+    for _ in range(chunk.bit_length() - 1):
+        M00, M01, M10, M11 = (M00 * M00 + M01 * M10, M00 * M01 + M01 * M11,
+                              M10 * M00 + M11 * M10, M10 * M01 + M11 * M11)
+
+    def chain(st, inputs):
+        m00, m01, m10, m11, d = inputs
+        s0, s1 = st[..., 0], st[..., 1]
+        n0 = m00 * s0 + m01 * s1 + d[..., 0]
+        n1 = m10 * s0 + m11 * s1 + d[..., 1]
+        return jnp.stack([n0, n1], axis=-1), st
+
+    s_out, s_starts = jax.lax.scan(chain, s, (M00, M01, M10, M11, s_drive),
+                                   unroll=True)
+
+    def back_step(w, _):
+        w0_, w1_ = w[..., 0], w[..., 1]
+        return jnp.stack([A00 * w0_ + A10 * w1_,
+                          A01 * w0_ + A11 * w1_], axis=-1), w
+
+    w0 = jnp.stack([jnp.broadcast_to(C0, (N, L)),
+                    jnp.broadcast_to(C1, (N, L))], axis=-1)
+    _, ws = jax.lax.scan(back_step, w0, None, length=chunk, unroll=True)
+    y_state = (ws[..., 0] * s_starts[None, ..., 0]
+               + ws[..., 1] * s_starts[None, ..., 1])               # [K,N,L]
+
+    y = jnp.transpose(y_zero + y_state, (2, 1, 0)).reshape(L, T)
+    return y, s_out
+
+
 def biquad_dual_interp_chunked(x: jax.Array, z: jax.Array, coeffs: jax.Array,
                                target: jax.Array, counter: jax.Array,
                                chunk: int = SAMPLES_PER_STEP):

@@ -161,9 +161,12 @@ def _kernel(meta_sref,                     # scalar prefetch [V,16] (SMEM)
     incv = col(8)
     llv = jnp.maximum(lev - lsv, 1)
 
-    gr = jax.lax.broadcasted_iota(jnp.int32, (R, LANE), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANE), 1)
-    t_idx = (gr & (rows - 1)) * LANE + lane                        # [R, LANE]
+    # Within-voice row index as a 3-D iota (NOT gr & (rows-1): rows is 9 for
+    # UHJ-padded blocks, and masking only works for power-of-two row counts).
+    row_in_voice = jax.lax.broadcasted_iota(
+        jnp.int32, (nv, rows, LANE), 1).reshape(R, LANE)
+    t_idx = row_in_voice * LANE + lane                             # [R, LANE]
 
     tot = f0v + t_idx * incv
     p = p0v + (tot >> MIXER_FRAC_BITS)
