@@ -62,6 +62,63 @@ class Context:
         self.aux_slots: dict[int, object] = {}
         self.deferred = False
         self._next_id = 1
+        # AL error model (al/error.cpp:59-98): first error sticks until
+        # alGetError pops it.
+        self.last_error = 0               # AL_NO_ERROR
+        # AL_SOFT_events dispatch (al/event.cpp): callback + enabled kinds,
+        # delivered off-thread like the reference's event thread.
+        self._event_callback = None
+        self._event_mask: set[str] = set()
+        self._event_queue = None
+        self._event_thread = None
+
+    # --- AL error model ---
+
+    def set_error(self, code: int, message: str = "") -> None:
+        """Context::setError: keep the FIRST unqueried error (error.cpp:87)."""
+        if self.last_error == 0:
+            self.last_error = code
+        self._last_error_message = message
+
+    def get_error(self) -> int:
+        err, self.last_error = self.last_error, 0
+        return err
+
+    # --- async event dispatch (AL_SOFT_events) ---
+
+    def set_event_callback(self, callback) -> None:
+        import queue as _queue
+        import threading
+
+        self._event_callback = callback
+        if callback is not None and self._event_thread is None:
+            self._event_queue = _queue.Queue()
+
+            def _run():
+                while True:
+                    evt = self._event_queue.get()
+                    if evt is None:
+                        return
+                    cb = self._event_callback
+                    if cb is not None:
+                        try:
+                            cb(*evt)
+                        except Exception:
+                            pass
+            self._event_thread = threading.Thread(target=_run, daemon=True)
+            self._event_thread.start()
+
+    def control_events(self, kinds, enable: bool) -> None:
+        if enable:
+            self._event_mask.update(kinds)
+        else:
+            self._event_mask.difference_update(kinds)
+
+    def _emit(self, kind: str, object_id: int, param) -> None:
+        self.events.append((kind, object_id, param))
+        if (self._event_callback is not None and kind in self._event_mask
+                and self._event_queue is not None):
+            self._event_queue.put((kind, object_id, param))
 
     # --- object creation ---
 
@@ -187,12 +244,12 @@ class Context:
                 if ch.kind == VChange.RESET:
                     sendevt = True
                 if sendevt:
-                    self.events.append(("source_state", ch.source_id, ch.kind.value))
+                    self._emit("source_state", ch.source_id, ch.kind.value)
             elif ch.kind == VChange.PAUSE:
                 v = ch.voice
                 if v.state == PlayState.PLAYING:
                     v.state = PlayState.STOPPING
-                    self.events.append(("source_state", ch.source_id, "pause"))
+                    self._emit("source_state", ch.source_id, "pause")
             elif ch.kind == VChange.PLAY:
                 sendevt = True
                 if ch.old_voice is not None:
@@ -204,7 +261,7 @@ class Context:
                         ov.state = PlayState.STOPPING
                 ch.voice.state = PlayState.PLAYING
                 if sendevt:
-                    self.events.append(("source_state", ch.source_id, "play"))
+                    self._emit("source_state", ch.source_id, "play")
             elif ch.kind == VChange.RESTART:
                 ov = ch.old_voice
                 ov.queue = []
@@ -257,6 +314,15 @@ class Context:
                     t.hrtf_old_delay[r] = mp.hrtf_delay[c]
             self._set_filter_target(t, r, np.stack([mp.lp_coeffs, mp.hp_coeffs]))
             t.filter_active[r] = mp.filter_active
+            # NFC (HasNfc flag + per-channel w0; alu.cpp:919-940, 1324-1336,
+            # 1411-1424).  NaN = leave the row's prior adjust untouched
+            # (ambisonic non-W channels).
+            if mp.nfc_w0 is not None:
+                t.nfc_active[r] = True
+                if not np.isnan(mp.nfc_w0[c]):
+                    t.nfc_w0[r] = mp.nfc_w0[c]
+            else:
+                t.nfc_active[r] = False
 
     @staticmethod
     def _set_filter_target(t, r: int, new_target: np.ndarray) -> None:
@@ -399,11 +465,11 @@ class Context:
             v.position_frac = total & MIXER_FRAC_MASK
             buffers_done, ended = v.advance(samples_done)
             if buffers_done:
-                self.events.append(("buffer_completed", v.source_id, buffers_done))
+                self._emit("buffer_completed", v.source_id, buffers_done)
                 self.device.mark_config_dirty()
             if ended:
                 v.state = PlayState.STOPPING
-                self.events.append(("source_state", v.source_id, "stop"))
+                self._emit("source_state", v.source_id, "stop")
                 src = self.sources.get(v.source_id)
                 if src is not None:
                     src.voice_ended()

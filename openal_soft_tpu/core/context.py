@@ -131,6 +131,9 @@ class VoiceMixParams:
     hrtf_gain: np.ndarray | None = None       # [C]
     hrtf_coeffs: np.ndarray | None = None     # [C, 128, 2]
     hrtf_delay: np.ndarray | None = None      # [C, 2] int
+    # NFC: per-channel w0 (speed_of_sound / (dist * rate)); -1 marks the
+    # create-state identity filter; None when the voice has no NFC.
+    nfc_w0: np.ndarray | None = None          # [C]
 
 
 def _lerp(a, b, t):
@@ -375,12 +378,24 @@ def _calc_panning_and_filters(voice: Voice, xpos, ypos, zpos, distance, spread,
         _calc_ambisonic_panning(voice, out, xpos, ypos, zpos, distance, spread,
                                 dry, wet, device, cp)
         voice.has_hrtf = False
+        # NFC for B-Format/UHJ3/UHJ4 (alu.cpp:919-940): with a distance only
+        # the W channel's filter is adjusted (others keep their prior state,
+        # NaN = leave row untouched); with no distance every channel aligns
+        # to w0=0 (compensation-only for FOA input).
+        if (getattr(device, "avg_speaker_dist", 0.0) > 0.0
+                and voice.fmt_channels not in (FmtChannels.UHJ2,
+                                               FmtChannels.SUPER_STEREO)):
+            if distance > np.finfo(np.float32).eps:
+                out.nfc_w0 = np.full(out.n_channels, np.nan, f32)
+                out.nfc_w0[0] = _nfc_w0(device, distance)
+            else:
+                out.nfc_w0 = np.zeros(out.n_channels, f32)
         _set_voice_filters(voice, out, dry, wet, device)
         return out
     else:
         chans = CHAN_POS_MAPS[voice.fmt_channels]
 
-    if layout.mode == panning.RenderMode.HRTF:
+    if layout.mode == panning.RenderMode.HRTF and layout.hrtf_full:
         _calc_hrtf_channels(voice, out, chans, xpos, ypos, zpos, distance, spread,
                             dry, wet, device)
         voice.duplicate_mono = (voice.fmt_channels == FmtChannels.MONO
@@ -390,9 +405,22 @@ def _calc_panning_and_filters(voice: Voice, xpos, ypos, zpos, distance, spread,
         voice.has_hrtf = False
         _calc_normal_panning(voice, out, chans, xpos, ypos, zpos, distance, spread,
                              dry, wet, device)
+        # NFC filter adjust (alu.cpp:1318-1336, 1405-1424): all channels.
+        if getattr(device, "avg_speaker_dist", 0.0) > 0.0:
+            out.nfc_w0 = np.full(out.n_channels, _nfc_w0(device, distance), f32)
 
     _set_voice_filters(voice, out, dry, wet, device)
     return out
+
+
+def _nfc_w0(device, distance) -> f32:
+    """w0 for the NFC adjust (alu.cpp:933-940, 1329-1336, 1419)."""
+    rate = f32(device.sample_rate)
+    if distance > np.finfo(np.float32).eps:
+        mdist = f32(max(f32(distance) * f32(device.nfc_scale),
+                        f32(device.avg_speaker_dist) / f32(4.0)))
+        return f32(f32(343.3) / (mdist * rate))
+    return f32(f32(343.3) / (f32(device.avg_speaker_dist) * rate))
 
 
 def _set_voice_filters(voice: Voice, out: VoiceMixParams, dry, wet, device):
@@ -432,8 +460,8 @@ def _calc_ambisonic_panning(voice: Voice, out: VoiceMixParams, xpos, ypos,
     """CalcAmbisonicPanning (alc/alu.cpp:911-1076) for B-Format/UHJ sources.
 
     The W channel pans like a mono source blended by "coverage" (spread);
-    the full B-Format signal is rotated by the source orientation.  NFC is
-    not yet applied (core/filters/nfc.cpp lands separately).
+    the full B-Format signal is rotated by the source orientation.  NFC
+    w0 selection happens in the caller (alu.cpp:919-940).
     """
     from .devformat import AmbiLayout, AmbiScaling, FmtChannels
 

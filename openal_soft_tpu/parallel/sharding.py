@@ -72,15 +72,12 @@ def make_sharded_device_step(dev, mesh: Mesh, T: int):
 
 def device_step_inputs(dev, T: int):
     """Assemble (state, ev, cfg, pool) for a sharded step from a live device."""
-    from ..core.device import ParamTable
-
     for ctx in dev.contexts:
         ctx.process_updates()
     if dev._cfg_dev is None:
         dev._derived_cache = {}
         dev._refresh_uhj_groups()
-        cfg = {k: jnp.asarray(getattr(dev.table, k))
-               for k in ParamTable._CONFIG}
+        cfg = dev._cfg_from_table()
         dev._uhj_cfg(cfg)
         cfg["reset_rows"] = jnp.asarray(dev._pending_resets_mask())
         for i, slot in enumerate(dev.slots):

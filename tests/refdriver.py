@@ -28,6 +28,13 @@ ALC_5POINT1_SOFT = 0x1504
 ALC_6POINT1_SOFT = 0x1505
 ALC_7POINT1_SOFT = 0x1506
 
+ALC_BFORMAT3D_SOFT = 0x1507
+ALC_AMBISONIC_LAYOUT_SOFT = 0x1997
+ALC_AMBISONIC_SCALING_SOFT = 0x1998
+ALC_AMBISONIC_ORDER_SOFT = 0x1999
+ALC_ACN_SOFT = 0x0001
+ALC_N3D_SOFT = 0x0002
+
 ALC_BYTE_SOFT = 0x1400
 ALC_UNSIGNED_BYTE_SOFT = 0x1401
 ALC_SHORT_SOFT = 0x1402
@@ -88,7 +95,8 @@ class RefLoopback:
     """Reference loopback render device."""
 
     def __init__(self, frequency: int, channels: str = "stereo",
-                 sample_type: str = "float32", hrtf: bool | None = None):
+                 sample_type: str = "float32", hrtf: bool | None = None,
+                 ambi_order: int = 1):
         self.al = ct.CDLL(REF_LIB)
         al = self.al
         al.alcLoopbackOpenDeviceSOFT.restype = ct.c_void_p
@@ -103,9 +111,19 @@ class RefLoopback:
 
         self.dev = al.alcLoopbackOpenDeviceSOFT(None)
         assert self.dev, "failed to open reference loopback device"
-        attrs = [ALC_FORMAT_CHANNELS_SOFT, _CHANNELS[channels],
-                 ALC_FORMAT_TYPE_SOFT, _TYPES[sample_type],
-                 ALC_FREQUENCY, frequency]
+        if channels == "ambi3d":
+            attrs = [ALC_FORMAT_CHANNELS_SOFT, ALC_BFORMAT3D_SOFT,
+                     ALC_AMBISONIC_LAYOUT_SOFT, ALC_ACN_SOFT,
+                     ALC_AMBISONIC_SCALING_SOFT, ALC_N3D_SOFT,
+                     ALC_AMBISONIC_ORDER_SOFT, ambi_order,
+                     ALC_FORMAT_TYPE_SOFT, _TYPES[sample_type],
+                     ALC_FREQUENCY, frequency]
+            n_channels = (ambi_order + 1) ** 2
+        else:
+            attrs = [ALC_FORMAT_CHANNELS_SOFT, _CHANNELS[channels],
+                     ALC_FORMAT_TYPE_SOFT, _TYPES[sample_type],
+                     ALC_FREQUENCY, frequency]
+            n_channels = _CHANNEL_COUNTS[channels]
         if hrtf is not None:
             attrs += [ALC_HRTF_SOFT, int(hrtf)]
         attrs += [0]
@@ -114,7 +132,7 @@ class RefLoopback:
         assert self.ctx, "failed to create reference context"
         al.alcMakeContextCurrent(self.ctx)
         self.frequency = frequency
-        self.n_channels = _CHANNEL_COUNTS[channels]
+        self.n_channels = n_channels
         self.sample_type = sample_type
 
     def gen_buffer(self) -> int:
