@@ -153,7 +153,8 @@ class Source:
 
         if v.is_ambisonic:
             return v.num_mix_channels()   # decoded B-Format lines
-        hrtf = dev.layout.mode == panning.RenderMode.HRTF
+        hrtf = (dev.layout.mode == panning.RenderMode.HRTF
+                and dev.layout.hrtf_full)
         if v.fmt_channels == FmtChannels.MONO:
             return 2 if (hrtf and self.props.panning_enabled) else 1
         return v.num_mix_channels()
@@ -196,3 +197,39 @@ class Source:
         if not self.queue:
             return 0.0
         return self.sample_offset() / float(self.queue[0].sample_rate)
+
+    # --- AL_SOFT_source_latency / device-clock queries (al/source.cpp:301) ---
+
+    def sample_offset_latency(self) -> tuple[int, int]:
+        """(offset in 32.32 fixed point, latency in nanoseconds).
+
+        GetSourceSampleOffsetClock (al/source.cpp:301-360): the offset is
+        the voice position including the fractional resample phase; the
+        latency is the span between the device clock and when the next
+        mixed sample will be heard.  In the pull-model loopback device that
+        span is the rendered-ahead carry (zero right after a whole-block
+        pull), matching the reference's loopback behavior of mix-ahead=0.
+        """
+        from ..constants import MIXER_FRAC_BITS
+
+        if self.voice is None or self.voice.source_id != self.id:
+            return 0, 0
+        v = self.voice
+        off = (self.sample_offset() << 32) | (int(v.position_frac)
+                                              << (32 - MIXER_FRAC_BITS))
+        dev = self.context.device
+        carry = dev._carry.shape[0] if dev._carry is not None else 0
+        latency_ns = int(carry * 1_000_000_000 // dev.sample_rate)
+        return off, latency_ns
+
+    def sec_offset_latency(self) -> tuple[float, float]:
+        """(offset seconds, latency seconds) — AL_SEC_OFFSET_LATENCY_SOFT."""
+        off, lat = self.sample_offset_latency()
+        rate = self.queue[0].sample_rate if self.queue else \
+            self.context.device.sample_rate
+        return off / 4294967296.0 / float(rate), lat / 1e9
+
+    def sample_offset_clock(self) -> tuple[int, int]:
+        """(offset 32.32, device clock ns) — AL_SAMPLE_OFFSET_CLOCK_SOFT."""
+        off, _ = self.sample_offset_latency()
+        return off, self.context.device.clock_ns()

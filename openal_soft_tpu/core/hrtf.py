@@ -301,6 +301,125 @@ AMBI_MATRIX_2O = np.array([
     [_o2[0], -_o2[2], -_o2[1], 0, 0, _o2[3], _o2[6], 0, -_o2[9]]], f32)
 AMBI_HF_GAIN_2O = np.array([1.825741858, 1.414213562, 7.302967433e-01], f32)
 
+# 3rd/4th-order t-designs + decode matrices (panning.cpp:885-1041); HF gains
+# use the AMP normalization rows (panning.cpp:1044-1055).
+AMBI_POINTS_3O = np.array([
+    [1.2059325, -1.5707964],
+    [1.2059325, 1.5707964],
+    [-1.2059325, -1.5707964],
+    [-1.2059325, 1.5707964],
+    [0.0, -1.2059325],
+    [0.0, -1.9356601],
+    [0.0, 1.2059325],
+    [0.0, 1.9356601],
+    [0.36486384, 0.0],
+    [0.36486384, 3.1415927],
+    [-0.36486384, 0.0],
+    [-0.36486384, 3.1415927],
+    [0.6154797, -0.7853982],
+    [0.6154797, -2.3561945],
+    [0.6154797, 0.7853982],
+    [0.6154797, 2.3561945],
+    [-0.6154797, -0.7853982],
+    [-0.6154797, -2.3561945],
+    [-0.6154797, 0.7853982],
+    [-0.6154797, 2.3561945],
+], f32)
+AMBI_MATRIX_3O = np.array([
+    [5.000000000e-02, 3.090169944e-02, 8.090169944e-02, 0.000000000e+00, 0.000000000e+00, 6.454972244e-02, 9.045084972e-02, 0.000000000e+00, -1.232790000e-02, -1.256118221e-01, 0.000000000e+00, 1.126112056e-01, 7.944389175e-02, 0.000000000e+00, 2.421151497e-02, 0.000000000e+00],
+    [5.000000000e-02, -3.090169944e-02, 8.090169944e-02, 0.000000000e+00, 0.000000000e+00, -6.454972244e-02, 9.045084972e-02, 0.000000000e+00, -1.232790000e-02, 1.256118221e-01, 0.000000000e+00, -1.126112056e-01, 7.944389175e-02, 0.000000000e+00, 2.421151497e-02, 0.000000000e+00],
+    [5.000000000e-02, 3.090169944e-02, -8.090169944e-02, 0.000000000e+00, 0.000000000e+00, -6.454972244e-02, 9.045084972e-02, 0.000000000e+00, -1.232790000e-02, -1.256118221e-01, 0.000000000e+00, 1.126112056e-01, -7.944389175e-02, 0.000000000e+00, -2.421151497e-02, 0.000000000e+00],
+    [5.000000000e-02, -3.090169944e-02, -8.090169944e-02, 0.000000000e+00, 0.000000000e+00, 6.454972244e-02, 9.045084972e-02, 0.000000000e+00, -1.232790000e-02, 1.256118221e-01, 0.000000000e+00, -1.126112056e-01, -7.944389175e-02, 0.000000000e+00, -2.421151497e-02, 0.000000000e+00],
+    [5.000000000e-02, 8.090169944e-02, 0.000000000e+00, 3.090169944e-02, 6.454972244e-02, 0.000000000e+00, -5.590169944e-02, 0.000000000e+00, -7.216878365e-02, -7.763237543e-02, 0.000000000e+00, -2.950836627e-02, 0.000000000e+00, -1.497759251e-01, 0.000000000e+00, -7.763237543e-02],
+    [5.000000000e-02, 8.090169944e-02, 0.000000000e+00, -3.090169944e-02, -6.454972244e-02, 0.000000000e+00, -5.590169944e-02, 0.000000000e+00, -7.216878365e-02, -7.763237543e-02, 0.000000000e+00, -2.950836627e-02, 0.000000000e+00, 1.497759251e-01, 0.000000000e+00, 7.763237543e-02],
+    [5.000000000e-02, -8.090169944e-02, 0.000000000e+00, 3.090169944e-02, -6.454972244e-02, 0.000000000e+00, -5.590169944e-02, 0.000000000e+00, -7.216878365e-02, 7.763237543e-02, 0.000000000e+00, 2.950836627e-02, 0.000000000e+00, -1.497759251e-01, 0.000000000e+00, -7.763237543e-02],
+    [5.000000000e-02, -8.090169944e-02, 0.000000000e+00, -3.090169944e-02, 6.454972244e-02, 0.000000000e+00, -5.590169944e-02, 0.000000000e+00, -7.216878365e-02, 7.763237543e-02, 0.000000000e+00, 2.950836627e-02, 0.000000000e+00, 1.497759251e-01, 0.000000000e+00, 7.763237543e-02],
+    [5.000000000e-02, 0.000000000e+00, 3.090169944e-02, 8.090169944e-02, 0.000000000e+00, 0.000000000e+00, -3.454915028e-02, 6.454972244e-02, 8.449668365e-02, 0.000000000e+00, 0.000000000e+00, 0.000000000e+00, 3.034486645e-02, -6.779013272e-02, 1.659481923e-01, 4.797944664e-02],
+    [5.000000000e-02, 0.000000000e+00, 3.090169944e-02, -8.090169944e-02, 0.000000000e+00, 0.000000000e+00, -3.454915028e-02, -6.454972244e-02, 8.449668365e-02, 0.000000000e+00, 0.000000000e+00, 0.000000000e+00, 3.034486645e-02, 6.779013272e-02, 1.659481923e-01, -4.797944664e-02],
+    [5.000000000e-02, 0.000000000e+00, -3.090169944e-02, 8.090169944e-02, 0.000000000e+00, 0.000000000e+00, -3.454915028e-02, -6.454972244e-02, 8.449668365e-02, 0.000000000e+00, 0.000000000e+00, 0.000000000e+00, -3.034486645e-02, -6.779013272e-02, -1.659481923e-01, 4.797944664e-02],
+    [5.000000000e-02, 0.000000000e+00, -3.090169944e-02, -8.090169944e-02, 0.000000000e+00, 0.000000000e+00, -3.454915028e-02, 6.454972244e-02, 8.449668365e-02, 0.000000000e+00, 0.000000000e+00, 0.000000000e+00, -3.034486645e-02, 6.779013272e-02, -1.659481923e-01, -4.797944664e-02],
+    [5.000000000e-02, 5.000000000e-02, 5.000000000e-02, 5.000000000e-02, 6.454972244e-02, 6.454972244e-02, 0.000000000e+00, 6.454972244e-02, 0.000000000e+00, 1.016220987e-01, 6.338656910e-02, -1.092600649e-02, -7.364853795e-02, 1.011266756e-01, -7.086833869e-02, -1.482646439e-02],
+    [5.000000000e-02, 5.000000000e-02, 5.000000000e-02, -5.000000000e-02, -6.454972244e-02, 6.454972244e-02, 0.000000000e+00, -6.454972244e-02, 0.000000000e+00, 1.016220987e-01, -6.338656910e-02, -1.092600649e-02, -7.364853795e-02, -1.011266756e-01, -7.086833869e-02, 1.482646439e-02],
+    [5.000000000e-02, -5.000000000e-02, 5.000000000e-02, 5.000000000e-02, -6.454972244e-02, -6.454972244e-02, 0.000000000e+00, 6.454972244e-02, 0.000000000e+00, -1.016220987e-01, -6.338656910e-02, 1.092600649e-02, -7.364853795e-02, 1.011266756e-01, -7.086833869e-02, -1.482646439e-02],
+    [5.000000000e-02, -5.000000000e-02, 5.000000000e-02, -5.000000000e-02, 6.454972244e-02, -6.454972244e-02, 0.000000000e+00, -6.454972244e-02, 0.000000000e+00, -1.016220987e-01, 6.338656910e-02, 1.092600649e-02, -7.364853795e-02, -1.011266756e-01, -7.086833869e-02, 1.482646439e-02],
+    [5.000000000e-02, 5.000000000e-02, -5.000000000e-02, 5.000000000e-02, 6.454972244e-02, -6.454972244e-02, 0.000000000e+00, -6.454972244e-02, 0.000000000e+00, 1.016220987e-01, -6.338656910e-02, -1.092600649e-02, 7.364853795e-02, 1.011266756e-01, 7.086833869e-02, -1.482646439e-02],
+    [5.000000000e-02, 5.000000000e-02, -5.000000000e-02, -5.000000000e-02, -6.454972244e-02, -6.454972244e-02, 0.000000000e+00, 6.454972244e-02, 0.000000000e+00, 1.016220987e-01, 6.338656910e-02, -1.092600649e-02, 7.364853795e-02, -1.011266756e-01, 7.086833869e-02, 1.482646439e-02],
+    [5.000000000e-02, -5.000000000e-02, -5.000000000e-02, 5.000000000e-02, -6.454972244e-02, 6.454972244e-02, 0.000000000e+00, -6.454972244e-02, 0.000000000e+00, -1.016220987e-01, 6.338656910e-02, 1.092600649e-02, 7.364853795e-02, 1.011266756e-01, 7.086833869e-02, -1.482646439e-02],
+    [5.000000000e-02, -5.000000000e-02, -5.000000000e-02, -5.000000000e-02, 6.454972244e-02, 6.454972244e-02, 0.000000000e+00, 6.454972244e-02, 0.000000000e+00, -1.016220987e-01, -6.338656910e-02, 1.092600649e-02, 7.364853795e-02, -1.011266756e-01, 7.086833869e-02, 1.482646439e-02],
+], f32)
+AMBI_POINTS_4O = np.array([
+    [1.2059325, 1.5707964],
+    [1.2059325, -1.5707964],
+    [1.0172219, 0.0],
+    [1.0172219, 3.1415927],
+    [0.6154797, 0.7853982],
+    [0.6154797, 2.3561945],
+    [0.6154797, -0.7853982],
+    [0.6154797, -2.3561945],
+    [0.5535744, 1.5707964],
+    [0.5535744, -1.5707964],
+    [0.36486384, 0.0],
+    [0.36486384, 3.1415927],
+    [0.0, 0.5535744],
+    [0.0, 2.5880182],
+    [0.0, -0.5535744],
+    [0.0, -2.5880182],
+    [0.0, 1.2059325],
+    [0.0, -1.2059325],
+    [0.0, 1.9356601],
+    [0.0, -1.9356601],
+    [-0.36486384, 0.0],
+    [-0.36486384, 3.1415927],
+    [-0.5535744, 1.5707964],
+    [-0.5535744, -1.5707964],
+    [-0.6154797, 0.7853982],
+    [-0.6154797, 2.3561945],
+    [-0.6154797, -0.7853982],
+    [-0.6154797, -2.3561945],
+    [-1.0172219, 0.0],
+    [-1.0172219, 3.1415927],
+    [-1.2059325, 1.5707964],
+    [-1.2059325, -1.5707964],
+], f32)
+AMBI_MATRIX_4O = np.array([
+    [3.125000000e-02, -1.931356215e-02, 5.056356215e-02, 0.000000000e+00, 0.000000000e+00, -4.149625014e-02, 5.814697482e-02, 0.000000000e+00, -7.925078574e-03, 1.522452112e-03, 0.000000000e+00, -6.187332918e-02, 5.384041069e-02, 0.000000000e+00, -2.013501509e-02, 0.000000000e+00, 0.000000000e+00, 8.560063208e-03, 0.000000000e+00, -7.899684062e-02, 4.188014710e-02, 0.000000000e+00, -3.506295521e-02, 0.000000000e+00, 1.155996975e-03],
+    [3.125000000e-02, 1.931356215e-02, 5.056356215e-02, 0.000000000e+00, 0.000000000e+00, 4.149625014e-02, 5.814697482e-02, 0.000000000e+00, -7.925078574e-03, -1.522452112e-03, 0.000000000e+00, 6.187332918e-02, 5.384041069e-02, 0.000000000e+00, -2.013501509e-02, 0.000000000e+00, 0.000000000e+00, -8.560063208e-03, 0.000000000e+00, 7.899684062e-02, 4.188014710e-02, 0.000000000e+00, -3.506295521e-02, 0.000000000e+00, 1.155996975e-03],
+    [3.125000000e-02, 0.000000000e+00, 4.604282561e-02, 2.845603117e-02, 0.000000000e+00, 0.000000000e+00, 3.895883912e-02, 5.154913118e-02, 1.592955758e-02, 0.000000000e+00, 0.000000000e+00, 0.000000000e+00, 2.095745091e-02, 6.719846732e-02, 3.629936978e-02, 9.158741881e-03, 0.000000000e+00, 0.000000000e+00, 0.000000000e+00, 0.000000000e+00, -4.263013518e-03, 6.519422195e-02, 5.608172276e-02, 2.308412203e-02, 5.044065618e-03],
+    [3.125000000e-02, 0.000000000e+00, 4.604282561e-02, -2.845603117e-02, 0.000000000e+00, 0.000000000e+00, 3.895883912e-02, -5.154913118e-02, 1.592955758e-02, 0.000000000e+00, 0.000000000e+00, 0.000000000e+00, 2.095745091e-02, -6.719846732e-02, 3.629936978e-02, -9.158741881e-03, 0.000000000e+00, 0.000000000e+00, 0.000000000e+00, 0.000000000e+00, -4.263013518e-03, -6.519422195e-02, 5.608172276e-02, -2.308412203e-02, 5.044065618e-03],
+    [3.125000000e-02, -3.125000000e-02, 3.125000000e-02, 3.125000000e-02, -4.149625014e-02, -4.149625014e-02, 0.000000000e+00, 4.149625014e-02, 0.000000000e+00, -2.493065047e-02, -6.338656910e-02, -2.043172564e-02, -3.222123536e-02, 1.903106711e-02, 8.858542336e-04, -2.601559590e-02, 0.000000000e+00, -4.482107285e-02, -4.791574237e-02, 1.694077318e-02, -3.750000000e-02, -1.694077318e-02, 0.000000000e+00, -4.482107285e-02, -3.169328455e-02],
+    [3.125000000e-02, -3.125000000e-02, 3.125000000e-02, -3.125000000e-02, 4.149625014e-02, -4.149625014e-02, 0.000000000e+00, -4.149625014e-02, 0.000000000e+00, -2.493065047e-02, 6.338656910e-02, -2.043172564e-02, -3.222123536e-02, -1.903106711e-02, 8.858542336e-04, 2.601559590e-02, 0.000000000e+00, -4.482107285e-02, 4.791574237e-02, 1.694077318e-02, -3.750000000e-02, 1.694077318e-02, 0.000000000e+00, 4.482107285e-02, -3.169328455e-02],
+    [3.125000000e-02, 3.125000000e-02, 3.125000000e-02, 3.125000000e-02, 4.149625014e-02, 4.149625014e-02, 0.000000000e+00, 4.149625014e-02, 0.000000000e+00, 2.493065047e-02, 6.338656910e-02, 2.043172564e-02, -3.222123536e-02, 1.903106711e-02, 8.858542336e-04, -2.601559590e-02, 0.000000000e+00, 4.482107285e-02, 4.791574237e-02, -1.694077318e-02, -3.750000000e-02, -1.694077318e-02, 0.000000000e+00, -4.482107285e-02, -3.169328455e-02],
+    [3.125000000e-02, 3.125000000e-02, 3.125000000e-02, -3.125000000e-02, -4.149625014e-02, 4.149625014e-02, 0.000000000e+00, -4.149625014e-02, 0.000000000e+00, 2.493065047e-02, -6.338656910e-02, 2.043172564e-02, -3.222123536e-02, -1.903106711e-02, 8.858542336e-04, 2.601559590e-02, 0.000000000e+00, 4.482107285e-02, -4.791574237e-02, -1.694077318e-02, -3.750000000e-02, 1.694077318e-02, 0.000000000e+00, 4.482107285e-02, -3.169328455e-02],
+    [3.125000000e-02, -4.604282561e-02, 2.845603117e-02, 0.000000000e+00, 0.000000000e+00, -5.154913118e-02, -5.684018025e-03, 0.000000000e+00, -4.170412317e-02, 3.879705320e-02, 0.000000000e+00, -1.586340627e-02, -3.390986790e-02, 0.000000000e+00, -5.873361407e-02, 0.000000000e+00, 0.000000000e+00, 6.043501607e-02, 0.000000000e+00, 3.362695493e-02, -2.921912934e-02, 0.000000000e+00, -3.376029419e-02, 0.000000000e+00, 3.457254007e-02],
+    [3.125000000e-02, 4.604282561e-02, 2.845603117e-02, 0.000000000e+00, 0.000000000e+00, 5.154913118e-02, -5.684018025e-03, 0.000000000e+00, -4.170412317e-02, -3.879705320e-02, 0.000000000e+00, 1.586340627e-02, -3.390986790e-02, 0.000000000e+00, -5.873361407e-02, 0.000000000e+00, 0.000000000e+00, -6.043501607e-02, 0.000000000e+00, -3.362695493e-02, -2.921912934e-02, 0.000000000e+00, -3.376029419e-02, 0.000000000e+00, 3.457254007e-02],
+    [3.125000000e-02, 0.000000000e+00, 1.931356215e-02, 5.056356215e-02, 0.000000000e+00, 0.000000000e+00, -2.221016804e-02, 4.149625014e-02, 5.431929663e-02, 0.000000000e+00, 0.000000000e+00, 0.000000000e+00, -3.668591722e-02, -1.705225633e-02, 4.984746936e-02, 5.489471022e-02, 0.000000000e+00, 0.000000000e+00, 0.000000000e+00, 0.000000000e+00, -3.040861381e-03, -5.358568085e-02, -5.115616222e-03, 5.867154607e-02, 5.430725099e-02],
+    [3.125000000e-02, 0.000000000e+00, 1.931356215e-02, -5.056356215e-02, 0.000000000e+00, 0.000000000e+00, -2.221016804e-02, -4.149625014e-02, 5.431929663e-02, 0.000000000e+00, 0.000000000e+00, 0.000000000e+00, -3.668591722e-02, 1.705225633e-02, 4.984746936e-02, -5.489471022e-02, 0.000000000e+00, 0.000000000e+00, 0.000000000e+00, 0.000000000e+00, -3.040861381e-03, 5.358568085e-02, -5.115616222e-03, -5.867154607e-02, 5.430725099e-02],
+    [3.125000000e-02, -2.845603117e-02, 0.000000000e+00, 4.604282561e-02, -5.154913118e-02, 0.000000000e+00, -3.327482109e-02, 0.000000000e+00, 2.577456559e-02, -6.277495073e-02, 0.000000000e+00, 2.566753052e-02, 0.000000000e+00, -4.153093679e-02, 0.000000000e+00, -5.660413777e-03, -5.282214092e-02, 0.000000000e+00, 4.464285714e-02, 0.000000000e+00, 3.348214286e-02, 0.000000000e+00, -2.232142857e-02, 0.000000000e+00, -3.961660569e-02],
+    [3.125000000e-02, -2.845603117e-02, 0.000000000e+00, -4.604282561e-02, 5.154913118e-02, 0.000000000e+00, -3.327482109e-02, 0.000000000e+00, 2.577456559e-02, -6.277495073e-02, 0.000000000e+00, 2.566753052e-02, 0.000000000e+00, 4.153093679e-02, 0.000000000e+00, 5.660413777e-03, 5.282214092e-02, 0.000000000e+00, -4.464285714e-02, 0.000000000e+00, 3.348214286e-02, 0.000000000e+00, -2.232142857e-02, 0.000000000e+00, -3.961660569e-02],
+    [3.125000000e-02, 2.845603117e-02, 0.000000000e+00, 4.604282561e-02, 5.154913118e-02, 0.000000000e+00, -3.327482109e-02, 0.000000000e+00, 2.577456559e-02, 6.277495073e-02, 0.000000000e+00, -2.566753052e-02, 0.000000000e+00, -4.153093679e-02, 0.000000000e+00, -5.660413777e-03, 5.282214092e-02, 0.000000000e+00, -4.464285714e-02, 0.000000000e+00, 3.348214286e-02, 0.000000000e+00, -2.232142857e-02, 0.000000000e+00, -3.961660569e-02],
+    [3.125000000e-02, 2.845603117e-02, 0.000000000e+00, -4.604282561e-02, -5.154913118e-02, 0.000000000e+00, -3.327482109e-02, 0.000000000e+00, 2.577456559e-02, 6.277495073e-02, 0.000000000e+00, -2.566753052e-02, 0.000000000e+00, 4.153093679e-02, 0.000000000e+00, 5.660413777e-03, -5.282214092e-02, 0.000000000e+00, 4.464285714e-02, 0.000000000e+00, 3.348214286e-02, 0.000000000e+00, -2.232142857e-02, 0.000000000e+00, -3.961660569e-02],
+    [3.125000000e-02, -5.056356215e-02, 0.000000000e+00, 1.931356215e-02, -4.149625014e-02, 0.000000000e+00, -3.593680678e-02, 0.000000000e+00, -4.639421806e-02, 3.023445375e-02, 0.000000000e+00, 4.888851054e-02, 0.000000000e+00, -1.694244021e-02, 0.000000000e+00, -5.952798034e-02, 7.086833869e-02, 0.000000000e+00, 3.593680678e-02, 0.000000000e+00, 3.616071429e-02, 0.000000000e+00, 4.017857143e-02, 0.000000000e+00, 7.923321138e-03],
+    [3.125000000e-02, 5.056356215e-02, 0.000000000e+00, 1.931356215e-02, 4.149625014e-02, 0.000000000e+00, -3.593680678e-02, 0.000000000e+00, -4.639421806e-02, -3.023445375e-02, 0.000000000e+00, -4.888851054e-02, 0.000000000e+00, -1.694244021e-02, 0.000000000e+00, -5.952798034e-02, -7.086833869e-02, 0.000000000e+00, -3.593680678e-02, 0.000000000e+00, 3.616071429e-02, 0.000000000e+00, 4.017857143e-02, 0.000000000e+00, 7.923321138e-03],
+    [3.125000000e-02, -5.056356215e-02, 0.000000000e+00, -1.931356215e-02, 4.149625014e-02, 0.000000000e+00, -3.593680678e-02, 0.000000000e+00, -4.639421806e-02, 3.023445375e-02, 0.000000000e+00, 4.888851054e-02, 0.000000000e+00, 1.694244021e-02, 0.000000000e+00, 5.952798034e-02, -7.086833869e-02, 0.000000000e+00, -3.593680678e-02, 0.000000000e+00, 3.616071429e-02, 0.000000000e+00, 4.017857143e-02, 0.000000000e+00, 7.923321138e-03],
+    [3.125000000e-02, 5.056356215e-02, 0.000000000e+00, -1.931356215e-02, -4.149625014e-02, 0.000000000e+00, -3.593680678e-02, 0.000000000e+00, -4.639421806e-02, -3.023445375e-02, 0.000000000e+00, -4.888851054e-02, 0.000000000e+00, 1.694244021e-02, 0.000000000e+00, 5.952798034e-02, 7.086833869e-02, 0.000000000e+00, 3.593680678e-02, 0.000000000e+00, 3.616071429e-02, 0.000000000e+00, 4.017857143e-02, 0.000000000e+00, 7.923321138e-03],
+    [3.125000000e-02, 0.000000000e+00, -1.931356215e-02, 5.056356215e-02, 0.000000000e+00, 0.000000000e+00, -2.221016804e-02, -4.149625014e-02, 5.431929663e-02, 0.000000000e+00, 0.000000000e+00, 0.000000000e+00, 3.668591722e-02, -1.705225633e-02, -4.984746936e-02, 5.489471022e-02, 0.000000000e+00, 0.000000000e+00, 0.000000000e+00, 0.000000000e+00, -3.040861381e-03, 5.358568085e-02, -5.115616222e-03, -5.867154607e-02, 5.430725099e-02],
+    [3.125000000e-02, 0.000000000e+00, -1.931356215e-02, -5.056356215e-02, 0.000000000e+00, 0.000000000e+00, -2.221016804e-02, 4.149625014e-02, 5.431929663e-02, 0.000000000e+00, 0.000000000e+00, 0.000000000e+00, 3.668591722e-02, 1.705225633e-02, -4.984746936e-02, -5.489471022e-02, 0.000000000e+00, 0.000000000e+00, 0.000000000e+00, 0.000000000e+00, -3.040861381e-03, -5.358568085e-02, -5.115616222e-03, 5.867154607e-02, 5.430725099e-02],
+    [3.125000000e-02, -4.604282561e-02, -2.845603117e-02, 0.000000000e+00, 0.000000000e+00, 5.154913118e-02, -5.684018025e-03, 0.000000000e+00, -4.170412317e-02, 3.879705320e-02, 0.000000000e+00, -1.586340627e-02, 3.390986790e-02, 0.000000000e+00, 5.873361407e-02, 0.000000000e+00, 0.000000000e+00, -6.043501607e-02, 0.000000000e+00, -3.362695493e-02, -2.921912934e-02, 0.000000000e+00, -3.376029419e-02, 0.000000000e+00, 3.457254007e-02],
+    [3.125000000e-02, 4.604282561e-02, -2.845603117e-02, 0.000000000e+00, 0.000000000e+00, -5.154913118e-02, -5.684018025e-03, 0.000000000e+00, -4.170412317e-02, -3.879705320e-02, 0.000000000e+00, 1.586340627e-02, 3.390986790e-02, 0.000000000e+00, 5.873361407e-02, 0.000000000e+00, 0.000000000e+00, 6.043501607e-02, 0.000000000e+00, 3.362695493e-02, -2.921912934e-02, 0.000000000e+00, -3.376029419e-02, 0.000000000e+00, 3.457254007e-02],
+    [3.125000000e-02, -3.125000000e-02, -3.125000000e-02, 3.125000000e-02, -4.149625014e-02, 4.149625014e-02, 0.000000000e+00, -4.149625014e-02, 0.000000000e+00, -2.493065047e-02, 6.338656910e-02, -2.043172564e-02, 3.222123536e-02, 1.903106711e-02, -8.858542336e-04, -2.601559590e-02, 0.000000000e+00, 4.482107285e-02, -4.791574237e-02, -1.694077318e-02, -3.750000000e-02, 1.694077318e-02, 0.000000000e+00, 4.482107285e-02, -3.169328455e-02],
+    [3.125000000e-02, -3.125000000e-02, -3.125000000e-02, -3.125000000e-02, 4.149625014e-02, 4.149625014e-02, 0.000000000e+00, 4.149625014e-02, 0.000000000e+00, -2.493065047e-02, -6.338656910e-02, -2.043172564e-02, 3.222123536e-02, -1.903106711e-02, -8.858542336e-04, 2.601559590e-02, 0.000000000e+00, 4.482107285e-02, 4.791574237e-02, -1.694077318e-02, -3.750000000e-02, -1.694077318e-02, 0.000000000e+00, -4.482107285e-02, -3.169328455e-02],
+    [3.125000000e-02, 3.125000000e-02, -3.125000000e-02, 3.125000000e-02, 4.149625014e-02, -4.149625014e-02, 0.000000000e+00, -4.149625014e-02, 0.000000000e+00, 2.493065047e-02, -6.338656910e-02, 2.043172564e-02, 3.222123536e-02, 1.903106711e-02, -8.858542336e-04, -2.601559590e-02, 0.000000000e+00, -4.482107285e-02, 4.791574237e-02, 1.694077318e-02, -3.750000000e-02, 1.694077318e-02, 0.000000000e+00, 4.482107285e-02, -3.169328455e-02],
+    [3.125000000e-02, 3.125000000e-02, -3.125000000e-02, -3.125000000e-02, -4.149625014e-02, -4.149625014e-02, 0.000000000e+00, 4.149625014e-02, 0.000000000e+00, 2.493065047e-02, 6.338656910e-02, 2.043172564e-02, 3.222123536e-02, -1.903106711e-02, -8.858542336e-04, 2.601559590e-02, 0.000000000e+00, -4.482107285e-02, -4.791574237e-02, 1.694077318e-02, -3.750000000e-02, -1.694077318e-02, 0.000000000e+00, -4.482107285e-02, -3.169328455e-02],
+    [3.125000000e-02, 0.000000000e+00, -4.604282561e-02, 2.845603117e-02, 0.000000000e+00, 0.000000000e+00, 3.895883912e-02, -5.154913118e-02, 1.592955758e-02, 0.000000000e+00, 0.000000000e+00, 0.000000000e+00, -2.095745091e-02, 6.719846732e-02, -3.629936978e-02, 9.158741881e-03, 0.000000000e+00, 0.000000000e+00, 0.000000000e+00, 0.000000000e+00, -4.263013518e-03, -6.519422195e-02, 5.608172276e-02, -2.308412203e-02, 5.044065618e-03],
+    [3.125000000e-02, 0.000000000e+00, -4.604282561e-02, -2.845603117e-02, 0.000000000e+00, 0.000000000e+00, 3.895883912e-02, 5.154913118e-02, 1.592955758e-02, 0.000000000e+00, 0.000000000e+00, 0.000000000e+00, -2.095745091e-02, -6.719846732e-02, -3.629936978e-02, -9.158741881e-03, 0.000000000e+00, 0.000000000e+00, 0.000000000e+00, 0.000000000e+00, -4.263013518e-03, 6.519422195e-02, 5.608172276e-02, 2.308412203e-02, 5.044065618e-03],
+    [3.125000000e-02, -1.931356215e-02, -5.056356215e-02, 0.000000000e+00, 0.000000000e+00, 4.149625014e-02, 5.814697482e-02, 0.000000000e+00, -7.925078574e-03, 1.522452112e-03, 0.000000000e+00, -6.187332918e-02, -5.384041069e-02, 0.000000000e+00, 2.013501509e-02, 0.000000000e+00, 0.000000000e+00, -8.560063208e-03, 0.000000000e+00, 7.899684062e-02, 4.188014710e-02, 0.000000000e+00, -3.506295521e-02, 0.000000000e+00, 1.155996975e-03],
+    [3.125000000e-02, 1.931356215e-02, -5.056356215e-02, 0.000000000e+00, 0.000000000e+00, -4.149625014e-02, 5.814697482e-02, 0.000000000e+00, -7.925078574e-03, -1.522452112e-03, 0.000000000e+00, 6.187332918e-02, -5.384041069e-02, 0.000000000e+00, 2.013501509e-02, 0.000000000e+00, 0.000000000e+00, 8.560063208e-03, 0.000000000e+00, -7.899684062e-02, 4.188014710e-02, 0.000000000e+00, -3.506295521e-02, 0.000000000e+00, 1.155996975e-03],
+], f32)
+AMBI_HF_GAIN_3O = np.array([1.000000000e+00, 8.611363116e-01,
+                            6.123336207e-01, 3.047469850e-01], f32)
+AMBI_HF_GAIN_4O = np.array([1.000000000e+00, 9.061798459e-01, 7.317428698e-01,
+                            5.010311710e-01, 2.457354591e-01], f32)
+
 
 @dataclasses.dataclass
 class DirectHrtfState:
@@ -315,12 +434,13 @@ class DirectHrtfState:
 def build_direct_hrtf(hrtf: HrtfStore, ir_size: int, ambi_order: int = 1,
                       xover_freq: float = 700.0) -> DirectHrtfState:
     """Bake the virtual-speaker HRIR set into per-ambi-channel filters."""
-    if ambi_order == 2:
-        points, matrix, hfgain = AMBI_POINTS_2O, AMBI_MATRIX_2O, AMBI_HF_GAIN_2O
-        per_hrir_min = False
-    else:
-        points, matrix, hfgain = AMBI_POINTS_1O, AMBI_MATRIX_1O, AMBI_HF_GAIN_1O
-        per_hrir_min = False
+    points, matrix, hfgain = {
+        1: (AMBI_POINTS_1O, AMBI_MATRIX_1O, AMBI_HF_GAIN_1O),
+        2: (AMBI_POINTS_2O, AMBI_MATRIX_2O, AMBI_HF_GAIN_2O),
+        3: (AMBI_POINTS_3O, AMBI_MATRIX_3O, AMBI_HF_GAIN_3O),
+        4: (AMBI_POINTS_4O, AMBI_MATRIX_4O, AMBI_HF_GAIN_4O),
+    }[ambi_order]
+    per_hrir_min = ambi_order >= 3   # panning.cpp:1099-1116
 
     from . import ambidefs
 
@@ -373,10 +493,122 @@ def build_direct_hrtf(hrtf: HrtfStore, ir_size: int, ambi_order: int = 1,
                            ir_size=ir_size_out)
 
 
+MAX_HRIR_DELAY = HRTF_HISTORY_LENGTH - 1   # core/hrtf.h:64
+
+
+def resample_hrtf_store(store: HrtfStore, devrate: int) -> HrtfStore:
+    """Resample a whole set to the device rate (hrtf.cpp:537-605).
+
+    IRs go through the offline polyphase resampler in f64; delays scale by
+    the rate ratio, shrinking the head radius if any exceeds MaxHrirDelay.
+    Not bit-exact vs the reference (its PPhaseResampler's Kaiser design
+    differs in transition-band parameters) but matches its structure; the
+    44.1 kHz golden budget is therefore 1e-3, not 1e-5.
+    """
+    from ..utils.polyphase import polyphase_resample
+
+    if store.sample_rate == devrate:
+        return store
+
+    # One batched matmul over the whole population (both ears), matching
+    # the reference's fixed HrirLength in/out processing.
+    flat = store.coeffs.transpose(0, 2, 1).astype(np.float64)  # [N, 2, 128]
+    y = polyphase_resample(flat, store.sample_rate, devrate,
+                           out_len=HRIR_LENGTH)
+    new_coeffs = y.transpose(0, 2, 1).astype(f32)
+
+    rate_scale = f32(f32(devrate) / f32(store.sample_rate))
+    fdel = (np.round(store.delays.astype(f32) * rate_scale)
+            / f32(HRIR_DELAY_FRAC_ONE))
+    max_delay = float(fdel.max(initial=0.0))
+    delay_scale = f32(HRIR_DELAY_FRAC_ONE)
+    if max_delay > MAX_HRIR_DELAY:
+        delay_scale = f32(delay_scale * f32(MAX_HRIR_DELAY / max_delay))
+    new_delays = np.clip((fdel * delay_scale + f32(0.5)).astype(np.int32),
+                         0, 255).astype(np.uint8)
+
+    new_ir = int(min(HRIR_LENGTH, round(store.ir_size * float(rate_scale))))
+    return dataclasses.replace(store, sample_rate=devrate, ir_size=new_ir,
+                               coeffs=new_coeffs, delays=new_delays)
+
+
+def _data_dirs() -> list[str]:
+    """HRTF search paths (SearchDataFiles, core/helpers.cpp + hrtf.cpp:430)."""
+    import os
+
+    from ..alc import config as alconf
+
+    dirs: list[str] = []
+    if pathopt := alconf.config_value_str("", "hrtf-paths"):
+        dirs += [q.strip() for q in pathopt.split(",") if q.strip()]
+    if env := os.environ.get("ALSOFT_LOCAL_PATH"):
+        dirs.append(env)
+    xdg_home = os.environ.get("XDG_DATA_HOME",
+                              os.path.expanduser("~/.local/share"))
+    dirs.append(os.path.join(xdg_home, "openal", "hrtf"))
+    for d in os.environ.get("XDG_DATA_DIRS",
+                            "/usr/local/share:/usr/share").split(":"):
+        if d:
+            dirs.append(os.path.join(d, "openal", "hrtf"))
+    # The framework's own shipped data set(s) enumerate last.
+    dirs.append(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data", "hrtf"))
+    return dirs
+
+
+def enumerate_hrtf() -> list[tuple[str, str]]:
+    """(name, path) for every .mhr on the search paths (EnumerateHrtf).
+
+    First entry wins on duplicate names, like the reference's AddFileEntry
+    de-duplication (hrtf.cpp:376-400)."""
+    import os
+
+    out: list[tuple[str, str]] = []
+    seen: set[str] = set()
+    for d in _data_dirs():
+        try:
+            names = sorted(os.listdir(d))
+        except OSError:
+            continue
+        for fn in names:
+            if not fn.lower().endswith(".mhr"):
+                continue
+            name = fn[:-4]
+            if name in seen:
+                continue
+            seen.add(name)
+            out.append((name, os.path.join(d, fn)))
+    return out
+
+
+def find_hrtf(name: str) -> str | None:
+    for n, path in enumerate_hrtf():
+        if n == name:
+            return path
+    return None
+
+
 def default_hrtf_path() -> str | None:
     import os
 
-    for p in ("/root/reference/hrtf/Default HRTF.mhr",):
-        if os.path.exists(p):
-            return p
+    from ..alc import config as alconf
+
+    if wanted := alconf.config_value_str("", "default-hrtf"):
+        if path := find_hrtf(wanted):
+            return path
+    sets = enumerate_hrtf()
+    if sets:
+        for n, path in sets:
+            if n == "Default HRTF":
+                return path
+        return sets[0][1]
     return None
+
+
+def load_hrtf(devrate: int, name: str | None = None,
+              path: str | None = None) -> HrtfStore | None:
+    """GetLoadedHrtf (hrtf.cpp:466-608): load + resample to the device rate."""
+    p = path or (find_hrtf(name) if name else default_hrtf_path())
+    if p is None:
+        return None
+    return resample_hrtf_store(load_mhr(p), devrate)

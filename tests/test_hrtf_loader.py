@@ -1,0 +1,90 @@
+"""HRTF set management: shipped data, enumeration, rate resampling, HOA bake.
+
+The reference resamples whole sets on a device-rate mismatch
+(core/hrtf.cpp:537-605) with its own offline Kaiser resampler; ours uses
+utils/polyphase with slightly different transition-band parameters, so the
+checks here are structural/energy invariants, not golden diffs.
+"""
+
+import numpy as np
+
+from openal_soft_tpu.core import hrtf
+
+f32 = np.float32
+
+
+def test_shipped_default_set_loads():
+    path = hrtf.default_hrtf_path()
+    assert path is not None and "openal_soft_tpu/data/hrtf" in path.replace(
+        "\\", "/")
+    store = hrtf.load_mhr(path)
+    assert store.sample_rate == 48000
+    assert store.coeffs.shape[1] == 128 and store.coeffs.shape[2] == 2
+    assert (store.delays >> 2).max() <= hrtf.MAX_HRIR_DELAY
+
+
+def test_enumerate_lists_shipped_set():
+    sets = hrtf.enumerate_hrtf()
+    names = [n for n, _ in sets]
+    assert "Default HRTF" in names
+    assert hrtf.find_hrtf("Default HRTF") is not None
+    assert hrtf.find_hrtf("no-such-set") is None
+
+
+def test_rate_resample_invariants():
+    store = hrtf.load_mhr(hrtf.default_hrtf_path())
+    rs = hrtf.resample_hrtf_store(store, 44100)
+    assert rs.sample_rate == 44100
+    assert rs.coeffs.shape == store.coeffs.shape
+    # delays scale by the rate ratio (then 2.6 fixed-point re-quantized)
+    ratio = 44100 / 48000
+    want = np.round(store.delays.astype(np.float64) * ratio)
+    got = rs.delays.astype(np.float64)
+    assert np.abs(got - want).max() <= 1.0
+    # ir_size shrinks with the rate
+    assert rs.ir_size == round(store.ir_size * ratio)
+    # energy preserved within a few percent for a band-limited downsample
+    e0 = float((store.coeffs.astype(np.float64) ** 2).sum())
+    e1 = float((rs.coeffs.astype(np.float64) ** 2).sum())
+    assert 0.8 * e0 < e1 * (48000 / 44100) < 1.2 * e0
+
+    same = hrtf.resample_hrtf_store(store, 48000)
+    assert same is store
+
+
+def test_hoa_bake_orders():
+    store = hrtf.load_mhr(hrtf.default_hrtf_path())
+    for order in (1, 2, 3, 4):
+        st = hrtf.build_direct_hrtf(store, store.ir_size, order)
+        n = (order + 1) ** 2
+        assert st.coeffs.shape == (n, 128, 2)
+        assert st.hf_scales.shape == (n,)
+        assert np.isfinite(st.coeffs).all()
+        # W channel response integrates to ~unity-scale sum of the fronts
+        assert abs(float(st.coeffs[:, :, 0].sum())) > 0.0
+    # per-order HF gains follow the reference normalization rows
+    st3 = hrtf.build_direct_hrtf(store, store.ir_size, 3)
+    np.testing.assert_array_equal(
+        np.unique(st3.hf_scales), np.unique(hrtf.AMBI_HF_GAIN_3O))
+
+
+def test_hrtf_device_rate_mismatch_renders():
+    """A 44.1k HRTF device renders through the resampled 48k set."""
+    from openal_soft_tpu.alc.device import LoopbackDevice
+
+    dev = LoopbackDevice(frequency=44100, channels="stereo",
+                         sample_type="float32", capacity=8, hrtf=True)
+    assert dev.hrtf_store.sample_rate == 44100
+    ctx = dev.create_context()
+    t = np.arange(22050) / 44100.0
+    buf = ctx.create_buffer()
+    buf.set_data((0.5 * np.sin(2 * np.pi * 440 * t)).astype(f32),
+                 "mono", "float32", 44100)
+    src = ctx.create_source()
+    src.buffer(buf)
+    src.looping = True
+    src.set("position", (1.0, 0.0, -1.0))
+    src.play()
+    out = dev.render_samples(512)
+    assert out.shape == (512, 2)
+    assert np.isfinite(out).all() and np.abs(out).max() > 1e-4
