@@ -113,6 +113,34 @@ def alcRenderSamplesSOFT(device: LoopbackDevice, num_frames: int) -> np.ndarray:
     return device.render_samples(num_frames)
 
 
+def alcCaptureOpenDevice(backend, frequency: int, fmt: int, samples: int):
+    """alc.cpp:3175: a capture device over a pull-model backend.
+
+    ``backend`` replaces the OS device name: an ArrayCaptureBackend /
+    WavCaptureBackend (alc/capture.py) acting as the microphone stream."""
+    from ..alc.capture import CaptureDevice
+
+    channels, styp = _FORMATS[fmt]
+    return CaptureDevice(backend, frequency, channels, styp,
+                         buffer_frames=samples)
+
+
+def alcCaptureCloseDevice(device) -> None:
+    device.close()
+
+
+def alcCaptureStart(device) -> None:
+    device.start()
+
+
+def alcCaptureStop(device) -> None:
+    device.stop()
+
+
+def alcCaptureSamples(device, samples: int) -> np.ndarray:
+    return device.capture_samples(samples)
+
+
 # --- buffers ------------------------------------------------------------------
 
 def alGenBuffers(n: int = 1):
@@ -274,3 +302,177 @@ def alGenFilters(n: int = 1):
 def alGenAuxiliaryEffectSlots(n: int = 1):
     ids = [(_ctx().create_aux_slot()).id for _ in range(n)]
     return ids[0] if n == 1 else ids
+
+
+# --- AL_SOFT_source_latency / ALC_SOFT_device_clock -----------------------------
+
+AL_SAMPLE_OFFSET_LATENCY_SOFT = 0x1200
+AL_SEC_OFFSET_LATENCY_SOFT = 0x1201
+AL_SAMPLE_OFFSET_CLOCK_SOFT = 0x1202
+AL_SEC_OFFSET_CLOCK_SOFT = 0x1203
+ALC_DEVICE_CLOCK_SOFT = 0x1600
+ALC_DEVICE_LATENCY_SOFT = 0x1601
+ALC_DEVICE_CLOCK_LATENCY_SOFT = 0x1602
+
+
+def alGetSourcei64vSOFT(sid: int, param: int):
+    src = _ctx().sources[sid]
+    if param == AL_SAMPLE_OFFSET_LATENCY_SOFT:
+        return src.sample_offset_latency()
+    if param == AL_SAMPLE_OFFSET_CLOCK_SOFT:
+        return src.sample_offset_clock()
+    raise ValueError(f"alGetSourcei64vSOFT param {param:#x}")
+
+
+def alGetSourcedvSOFT(sid: int, param: int):
+    src = _ctx().sources[sid]
+    if param == AL_SEC_OFFSET_LATENCY_SOFT:
+        return src.sec_offset_latency()
+    if param == AL_SEC_OFFSET_CLOCK_SOFT:
+        off, clk = src.sample_offset_clock()
+        rate = src.queue[0].sample_rate if src.queue else \
+            src.context.device.sample_rate
+        return off / 4294967296.0 / float(rate), clk / 1e9
+    raise ValueError(f"alGetSourcedvSOFT param {param:#x}")
+
+
+def alcGetInteger64vSOFT(device, param: int):
+    if param == ALC_DEVICE_CLOCK_SOFT:
+        return device.clock_ns()
+    if param == ALC_DEVICE_LATENCY_SOFT:
+        return device.clock_latency_ns()[1]
+    if param == ALC_DEVICE_CLOCK_LATENCY_SOFT:
+        return device.clock_latency_ns()
+    raise ValueError(f"alcGetInteger64vSOFT param {param:#x}")
+
+
+# --- error model (al/error.cpp) -------------------------------------------------
+
+from .error import (AL_INVALID_ENUM, AL_INVALID_NAME, AL_INVALID_OPERATION,
+                    AL_INVALID_VALUE, AL_NO_ERROR, AL_OUT_OF_MEMORY, ALError)
+
+
+def alGetError() -> int:
+    """Pop the context's sticky first error (error.cpp:59-67)."""
+    ctx = getattr(_tls, "context", None)
+    if ctx is None:
+        return AL_INVALID_OPERATION
+    return ctx.get_error()
+
+
+def _al_entry(fn):
+    """Entry-point shield: AL never throws; errors go to alGetError.
+
+    ALError keeps its code; unknown object ids (KeyError on the id stores)
+    map to AL_INVALID_NAME; bad param enums (ValueError raises in this
+    module) map to AL_INVALID_ENUM (error.cpp:70-98)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        ctx = getattr(_tls, "context", None)
+        try:
+            return fn(*args, **kwargs)
+        except ALError as e:
+            if ctx is not None:
+                ctx.set_error(e.code, str(e))
+        except KeyError as e:
+            if ctx is not None:
+                ctx.set_error(AL_INVALID_NAME, f"invalid id {e}")
+        except ValueError as e:
+            if ctx is not None:
+                ctx.set_error(AL_INVALID_ENUM, str(e))
+        return 0
+    return wrapper
+
+
+def _install_entry_shields() -> None:
+    """Wrap every al* (not alc*) entry point in this module."""
+    g = globals()
+    for name, fn in list(g.items()):
+        if (name.startswith("al") and not name.startswith("alc")
+                and callable(fn) and fn.__module__ == __name__
+                and name not in ("alGetError",)):
+            g[name] = _al_entry(fn)
+
+
+# --- extension queries (alc/alc.cpp:335-368, alc/context.cpp:64-109) -------------
+
+AL_EXTENSIONS = 0xB004
+AL_VERSION = 0xB002
+AL_RENDERER = 0xB003
+AL_VENDOR = 0xB001
+ALC_EXTENSIONS = 0x1006
+
+# The AL extensions this implementation actually provides (subset of the
+# reference's list at alc/context.cpp:65-109: entries whose feature exists
+# here; grown as the surface grows).
+_AL_EXTENSION_LIST = (
+    "AL_EXT_ALAW AL_EXT_BFORMAT AL_EXT_DOUBLE AL_EXT_EXPONENT_DISTANCE "
+    "AL_EXT_FLOAT32 AL_EXT_IMA4 AL_EXT_LINEAR_DISTANCE AL_EXT_MCFORMATS "
+    "AL_EXT_MULAW AL_EXT_MULAW_BFORMAT AL_EXT_OFFSET "
+    "AL_EXT_SOURCE_RADIUS AL_EXT_STEREO_ANGLES "
+    "AL_SOFT_bformat_ex AL_SOFT_block_alignment AL_SOFT_deferred_updates "
+    "AL_SOFT_direct_channels AL_SOFT_events AL_SOFT_gain_clamp_ex "
+    "AL_SOFT_loop_points AL_SOFT_MSADPCM AL_SOFT_source_latency "
+    "AL_SOFT_source_length AL_SOFT_source_resampler "
+    "AL_SOFT_source_spatialize AL_SOFT_UHJ AL_SOFT_UHJ_ex"
+)
+_ALC_EXTENSION_LIST = (
+    "ALC_ENUMERATE_ALL_EXT ALC_ENUMERATION_EXT ALC_EXT_CAPTURE "
+    "ALC_EXT_DEDICATED ALC_EXT_EFX ALC_EXT_thread_local_context "
+    "ALC_SOFT_HRTF ALC_SOFT_loopback ALC_SOFT_loopback_bformat "
+    "ALC_SOFT_output_limiter ALC_SOFT_pause_device"
+)
+
+
+def alGetString(param: int) -> str:
+    if param == AL_EXTENSIONS:
+        return _AL_EXTENSION_LIST
+    if param == AL_VERSION:
+        return "1.1 ALSOFT-TPU"
+    if param == AL_RENDERER:
+        return "OpenAL Soft TPU"
+    if param == AL_VENDOR:
+        return "openal_soft_tpu"
+    raise ValueError(f"alGetString param {param:#x}")
+
+
+def alIsExtensionPresent(name: str) -> bool:
+    return name.upper() in (s.upper() for s in _AL_EXTENSION_LIST.split())
+
+
+def alcGetString(device, param: int) -> str:
+    if param == ALC_EXTENSIONS:
+        return _ALC_EXTENSION_LIST
+    raise ValueError(f"alcGetString param {param:#x}")
+
+
+def alcIsExtensionPresent(device, name: str) -> bool:
+    return name.upper() in (s.upper() for s in _ALC_EXTENSION_LIST.split())
+
+
+# --- AL_SOFT_events (al/event.cpp) ------------------------------------------------
+
+AL_EVENT_TYPE_BUFFER_COMPLETED_SOFT = 0x19A4
+AL_EVENT_TYPE_SOURCE_STATE_CHANGED_SOFT = 0x19A5
+AL_EVENT_TYPE_DISCONNECTED_SOFT = 0x19A6
+
+_EVENT_KINDS = {
+    AL_EVENT_TYPE_BUFFER_COMPLETED_SOFT: "buffer_completed",
+    AL_EVENT_TYPE_SOURCE_STATE_CHANGED_SOFT: "source_state",
+    AL_EVENT_TYPE_DISCONNECTED_SOFT: "disconnected",
+}
+
+
+def alEventControlSOFT(event_types, enable: bool) -> None:
+    kinds = [_EVENT_KINDS[t] for t in event_types]
+    _ctx().control_events(kinds, bool(enable))
+
+
+def alEventCallbackSOFT(callback) -> None:
+    """callback(kind: str, object_id: int, param) on the event thread."""
+    _ctx().set_event_callback(callback)
+
+
+_install_entry_shields()
