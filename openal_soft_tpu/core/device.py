@@ -36,6 +36,7 @@ from ..constants import MIXER_FRAC_BITS as MIXER_FRAC_BITS_
 from ..ops import filters as f_ops
 from ..ops import hrtf_mix
 from ..ops import mix as mix_ops
+from ..ops import nfc as nfc_ops
 from ..ops import resample as rs_ops
 from ..ops import tables
 from ..ops import uhj as uhj_ops
@@ -45,7 +46,7 @@ from . import context as ctx_mod
 from . import hrtf as hrtf_mod
 from . import mastering
 from . import panning
-from .devformat import DevFmtChannels, DevFmtType
+from .devformat import Channel, DevFmtChannels, DevFmtType
 from .voice import PlayState, Voice
 
 f32 = np.float32
@@ -161,6 +162,10 @@ class ParamTable:
         self.send_filter_counter = np.zeros((L, max(self.n_sends, 1)), np.int32)
         self.send_filter_coeffs[:, :, :, 0] = 1.0
         self.send_filter_target[:, :, :, 0] = 1.0
+        # NFC (only consumed when the device has NFC enabled): w0 per row,
+        # -1.0 = create-state identity filter (un-adjusted, nfc.cpp:56-73).
+        self.nfc_w0 = np.full(L, -1.0, f32)
+        self.nfc_active = np.zeros(L, bool)
 
     # Fields that evolve deterministically on-device within a dispatch
     # (positions advance, gain ramps complete, filter coefficients interp,
@@ -178,7 +183,8 @@ class ParamTable:
                "dry_tgt", "filter_active", "filter_target", "hrtf_gain",
                "hrtf_old_gain", "hrtf_coeffs", "hrtf_old_coeffs", "hrtf_delay",
                "hrtf_old_delay", "wet_slot", "wet_active", "wet_tgt",
-               "send_filter_active", "send_filter_target")
+               "send_filter_active", "send_filter_target",
+               "nfc_w0", "nfc_active")
     _FIELDS = _EVOLVING + _CONFIG
 
     def evolving_dict(self) -> dict:
@@ -210,6 +216,8 @@ class ParamTable:
         self.hrtf_old_coeffs[r] = 0.0
         self.hrtf_delay[r] = 0
         self.hrtf_old_delay[r] = 0
+        self.nfc_w0[r] = -1.0
+        self.nfc_active[r] = False
 
 
 class RenderDevice:
@@ -222,7 +230,8 @@ class RenderDevice:
                  render_mode: panning.RenderMode | None = None,
                  hq_decode: bool = True,
                  ambi_order: int = 1,
-                 hrtf_path: str | None = None) -> None:
+                 hrtf_path: str | None = None,
+                 loopback: bool = True) -> None:
         self.sample_rate = int(sample_rate)
         self.fmt_channels = fmt_channels
         self.fmt_type = fmt_type
@@ -230,26 +239,77 @@ class RenderDevice:
         self.num_aux_sends = num_aux_sends
         self.hrtf_store = None
 
+        stereo_encoding = None
         if render_mode is None:
             # Default stereo output uses pairwise panning (panning.cpp:1420);
-            # other formats use normal speaker decode.
+            # other formats use normal speaker decode.  The stereo-encoding
+            # config key selects UHJ encode or HRTF instead
+            # (panning.cpp:1366-1394).
             render_mode = (panning.RenderMode.PAIRWISE
                            if fmt_channels == DevFmtChannels.STEREO
                            else panning.RenderMode.NORMAL)
+            if fmt_channels == DevFmtChannels.STEREO:
+                from ..alc import config as _alconf
+                enc = (_alconf.config_value_str("", "stereo-encoding")
+                       or "").lower()
+                if enc in ("uhj", "superstereo"):
+                    stereo_encoding = "uhj"
+                    render_mode = panning.RenderMode.NORMAL
+                elif enc == "hrtf":
+                    render_mode = panning.RenderMode.HRTF
+        hrtf_full = True
         if render_mode == panning.RenderMode.HRTF:
-            # InitHrtfPanning (panning.cpp:846-1138): full HRTF render mode
-            # uses a 1st-order ambi dry bus at a 700 Hz crossover.
-            ambi_order = 1
+            # InitHrtfPanning (panning.cpp:846-1138): "full" mode renders
+            # each voice through its own HRIRs over a 1st-order ambi bus;
+            # "ambi1".."ambi4" pan voices normally onto an order-N bus and
+            # only the baked HRIR decode is binaural.  700 Hz crossover.
+            from ..alc import config as _alconf
+            mode_str = (_alconf.config_value_str("", "hrtf-mode")
+                        or "full").lower()
+            if mode_str == "basic":   # deprecated alias (panning.cpp:1078)
+                mode_str = "ambi2"
+            if mode_str in ("ambi1", "ambi2", "ambi3", "ambi4"):
+                hrtf_full = False
+                ambi_order = int(mode_str[-1])
+            else:
+                ambi_order = 1
+        # Custom ambdec decoder for speaker layouts (aluInitRenderer,
+        # panning.cpp:1236-1296): config key decoder/<layout> names the file.
+        custom_decoder = None
+        if render_mode not in (panning.RenderMode.HRTF,):
+            _LAYOUT_KEYS = {
+                DevFmtChannels.QUAD: "quad", DevFmtChannels.X51: "surround51",
+                DevFmtChannels.X61: "surround61",
+                DevFmtChannels.X71: "surround71",
+                DevFmtChannels.X714: "surround714",
+                DevFmtChannels.X7144: "surround7144",
+                DevFmtChannels.X3D71: "3d71",
+            }
+            if (key := _LAYOUT_KEYS.get(fmt_channels)) is not None:
+                from ..alc import config as _alconf
+                decopt = _alconf.config_value_str("decoder", key)
+                if decopt is None and key == "3d71":
+                    decopt = _alconf.config_value_str("decoder",
+                                                      "surround3d71")
+                if decopt:
+                    from . import ambdec as ambdec_mod
+                    conf = ambdec_mod.load_ambdec(decopt)
+                    custom_decoder = ambdec_mod.make_decoder(conf,
+                                                             fmt_channels)
         self.layout = panning.init_panning(
             fmt_channels, self.sample_rate, hq_decode=hq_decode,
             render_mode=render_mode, ambi_order=ambi_order,
-            xover_freq=700.0 if render_mode == panning.RenderMode.HRTF else 400.0)
+            xover_freq=700.0 if render_mode == panning.RenderMode.HRTF else 400.0,
+            hrtf_full=hrtf_full, decoder=custom_decoder,
+            stereo_encoding=stereo_encoding)
         self.n_dry = self.layout.n_dry
         self.n_real = len(self.layout.real_channels) or self.n_dry
 
         if render_mode == panning.RenderMode.HRTF:
-            path = hrtf_path or hrtf_mod.default_hrtf_path()
-            self.hrtf_store = (hrtf_mod.load_mhr(path) if path
+            # Enumerated + rate-resampled load (GetLoadedHrtf,
+            # core/hrtf.cpp:466-608); synthetic fallback with no data sets.
+            store = hrtf_mod.load_hrtf(self.sample_rate, path=hrtf_path)
+            self.hrtf_store = (store if store is not None
                                else hrtf_mod.make_synthetic_hrtf(self.sample_rate))
             self.ir_size = self.hrtf_store.ir_size
             self._direct_hrtf = hrtf_mod.build_direct_hrtf(
@@ -259,6 +319,97 @@ class RenderDevice:
             self._hrtf_splitter = f_ops.BandSplitterKernels(
                 float(f_ops.band_splitter_coeff(700.0 / self.sample_rate)),
                 variant_3arg=True)
+
+        # Near-field compensation (InitNearFieldCtrl, panning.cpp:276-300):
+        # config-gated; control distance = HRTF field distance in HRTF mode,
+        # decoder/speaker-dist for ambisonic output.
+        from ..alc import config as alconf
+        self.nfc = None
+        self.avg_speaker_dist = 0.0
+        self.nfc_scale = float(np.clip(alconf.config_value_float(
+            "game_compat", "nfc-scale", 1.0), 0.0001, 10000.0))
+        if alconf.config_value_bool("decoder", "nfc", False):
+            ctrl = 0.0
+            if self.layout.mode == panning.RenderMode.HRTF:
+                ctrl = float(self.hrtf_store.field_distances[0])
+            elif custom_decoder is not None:
+                # Average positive speaker distances; 1.0 default when the
+                # preset has none (panning.cpp:1283-1291).
+                dists = custom_decoder.speaker_dists
+                pos = dists[dists > 0.0]
+                ctrl = (float(pos.mean()) if pos.size
+                        else alconf.config_value_float(
+                            "decoder", "speaker-dist", 1.0))
+            elif self.layout.uhj_output:
+                # ~2 m default control distance (panning.cpp:1153-1161)
+                ctrl = alconf.config_value_float("uhj", "distance-ref", 2.0)
+            elif self.layout.dec_hf is None:   # Ambi3D output
+                ctrl = alconf.config_value_float("decoder", "speaker-dist",
+                                                 0.0) or 0.0
+            if ctrl > 0.0:
+                self.avg_speaker_dist = float(np.clip(ctrl, 0.1, 10.0))
+                w1 = float(nfc_ops.SPEED_OF_SOUND
+                           / (f32(self.avg_speaker_dist)
+                              * f32(self.sample_rate)))
+                self.nfc = nfc_ops.NfcDeviceConsts(w1)
+        # Dry-channel spans per ambisonic order (contiguous in ACN order).
+        # dry_acn holds true ACN indices for both 2D and 3D buses, so
+        # floor(sqrt(acn)) is the order in either mixing mode.
+        if self.nfc is not None:
+            order_of = np.floor(np.sqrt(self.layout.dry_acn)).astype(int)
+            groups = []
+            for o in range(int(order_of.max()) + 1):
+                idx = np.nonzero(order_of == o)[0]
+                assert (np.diff(idx) == 1).all(), "non-contiguous order group"
+                groups.append((int(idx[0]), int(idx[-1]) + 1))
+            self._nfc_groups = groups
+
+        # Distance compensation (InitDistanceComp, panning.cpp:301-360 +
+        # doDistanceComp at alu.cpp:2261): per-speaker whole-sample delay +
+        # level scale on the real outputs, before the limiter.
+        self._dist_comp = None
+        if (custom_decoder is not None
+                and custom_decoder.speaker_dists is not None
+                and alconf.config_value_bool("decoder", "distance-comp",
+                                             True)):
+            dists = custom_decoder.speaker_dists
+            maxdist = float(dists.max(initial=0.0))
+            if maxdist > 0.0:
+                scale = f32(self.sample_rate) / nfc_ops.SPEED_OF_SOUND
+                delays = np.zeros(self.n_real, np.int64)
+                gains = np.ones(self.n_real, f32)
+                for ch, dist in zip(custom_decoder.channels, dists):
+                    idx = self.layout.channel_index.get(ch)
+                    if idx is None or not dist > 0.0:
+                        continue
+                    delays[idx] = int(np.floor(
+                        f32((maxdist - dist) * scale) + f32(0.5)))
+                    gains[idx] = f32(dist / maxdist)
+                bufs = [np.zeros(int(d), f32) for d in delays]
+                self._dist_comp = (delays, gains, bufs)
+
+        # Front stabilizer (alu.cpp:329-405): speaker decodes with FL/FR/FC
+        # outputs where the decoder itself leaves FC silent; config-gated.
+        # Splits the decoded front mid at 5 kHz and re-pans LF 1/3 and HF
+        # 1/4 toward center, all-passing every other channel into phase.
+        self._stab = None
+        if (self.layout.dec_hf is not None
+                and alconf.config_value_bool("", "front-stablizer", False)):
+            ci = self.layout.channel_index
+            need = (Channel.FRONT_LEFT, Channel.FRONT_RIGHT,
+                    Channel.FRONT_CENTER)
+            if all(ch in ci for ch in need):
+                cidx = ci[Channel.FRONT_CENTER]
+                hasfc = bool(np.any(self.layout.dec_hf[cidx]))
+                if self.layout.dec_lf is not None:
+                    hasfc |= bool(np.any(self.layout.dec_lf[cidx]))
+                if not hasfc:
+                    self._stab = {
+                        "idx": (ci[Channel.FRONT_LEFT],
+                                ci[Channel.FRONT_RIGHT], cidx),
+                        "coeff": float(f_ops.band_splitter_coeff(
+                            5000.0 / self.sample_rate)),
+                    }
 
         self.pool = BufferPool()
         self.table = ParamTable(capacity, self.n_dry, num_aux_sends,
@@ -287,6 +438,20 @@ class RenderDevice:
         self._derived_cache: dict = {}
         self._derived_fn = None
         self._uhj_groups: dict = {"u2": [], "u3": [], "u4": [], "ss": []}
+
+        # BS2B crossfeed (panning.cpp:1421-1431): basic stereo, cf_level
+        # config 1..6, and — like the reference — never on loopback devices
+        # (the app owns loopback output; crossfeed only applies to devices
+        # that drive physical audio, e.g. the wave/null backends).
+        self._bs2b = None
+        if (fmt_channels == DevFmtChannels.STEREO
+                and not loopback
+                and render_mode != panning.RenderMode.HRTF
+                and not self.layout.uhj_output):
+            cf = alconf.config_value_int("", "cf_level", 0) or 0
+            if 1 <= cf <= 6:
+                from . import bs2b as bs2b_mod
+                self._bs2b = bs2b_mod.Bs2bProcessor(cf, self.sample_rate)
 
         # Output stage (alc/alc.cpp:1677-1763): dither for 8/16-bit output,
         # limiter for all integer formats (headroom-derived threshold).
@@ -371,6 +536,13 @@ class RenderDevice:
         }
         if self._uses_dual_band():
             state["split_state"] = jnp.zeros((self.n_dry, 3), jnp.float32)
+        if self.nfc is not None:
+            state["nfc_z"] = jnp.zeros((L, nfc_ops.NUM_STATES), jnp.float32)
+        if self.layout.uhj_output:
+            state.update(uhj_ops.uhj_encoder_iir_state())
+        if self._stab is not None:
+            state["stab_mid"] = jnp.zeros((1, 3), jnp.float32)
+            state["stab_ap"] = jnp.zeros(self.n_real, jnp.float32)
         if self.layout.mode == panning.RenderMode.HRTF:
             state["hrtf_history"] = jnp.zeros((L, hrtf_mix.HIST), jnp.float32)
             state["hrtf_tail"] = jnp.zeros((128, 2), jnp.float32)
@@ -449,8 +621,29 @@ class RenderDevice:
 
         dry_tgt = jnp.where(cfg["playing"][:, None], cfg["dry_tgt"], 0.0)
         fade = min(GAIN_FADE_SAMPLES, T)
-        dry, dry_cur2 = mix_ops.mix_voices(x_mix, ev["dry_cur"], dry_tgt,
-                                           ev["fade"], fade)
+        if self.nfc is not None:
+            # DoNfcMix (core/voice.cpp:660-691): order-0 channels mix the
+            # unfiltered samples; each higher order mixes through its NFC
+            # filter.  Rows without NFC (UHJ2/SuperStereo) bypass.
+            max_ord = len(self._nfc_groups) - 1
+            filt, nz2 = nfc_ops.process_orders(
+                x_mix, state["nfc_z"], cfg["nfc_coeffs"], self.nfc, max_ord)
+            na = cfg["nfc_active"]
+            filt = [jnp.where(na[:, None], xo, x_mix) for xo in filt]
+            new_state["nfc_z"] = jnp.where(na[:, None], nz2, 0.0)
+            pieces, curs = [], []
+            for o, (lo, hi) in enumerate(self._nfc_groups):
+                src = x_mix if o == 0 else filt[o - 1]
+                piece, cur = mix_ops.mix_voices(
+                    src, ev["dry_cur"][:, lo:hi], dry_tgt[:, lo:hi],
+                    ev["fade"], fade)
+                pieces.append(piece)
+                curs.append(cur)
+            dry = jnp.concatenate(pieces, axis=0)
+            dry_cur2 = jnp.concatenate(curs, axis=1)
+        else:
+            dry, dry_cur2 = mix_ops.mix_voices(x_mix, ev["dry_cur"], dry_tgt,
+                                               ev["fade"], fade)
         if axis_name is not None:
             dry = jax.lax.psum(dry, axis_name)
         new_ev["dry_cur"] = dry_cur2
@@ -528,6 +721,17 @@ class RenderDevice:
             return out, new_state, new_ev
 
         # Post-process: B-Format decode to real outputs.
+        if self.layout.uhj_output:
+            # UhjPostProcess (alu.cpp:300): encode the FuMa2D FOA dry bus
+            # (W, X, Y rows) to stereo.
+            left, right, enc2 = uhj_ops.uhj_encode_iir(
+                dry[0], dry[1], dry[2],
+                {k: state[k] for k in uhj_ops.uhj_encoder_iir_state()}, T)
+            new_state.update(enc2)
+            out = jnp.stack([left, right])
+            if out_real_extra is not None:
+                out = out + out_real_extra
+            return out, new_state, new_ev
         if self._dec_lf is not None:
             hp, lp, sp_state = self._splitter.split(dry, state["split_state"])
             new_state["split_state"] = sp_state
@@ -540,9 +744,42 @@ class RenderDevice:
                              precision=jax.lax.Precision.HIGHEST)
         else:
             out = dry  # Ambi3D output: the dry bus is the output
+        if self._stab is not None:
+            out, new_state = self._stabilize(out, state, new_state, T)
         if out_real_extra is not None:
             out = out + out_real_extra
         return out, new_state, new_ev
+
+    def _stabilize(self, out, state, new_state, T: int):
+        """Front-image stabilization (alu.cpp:329-405) on the decoded out.
+
+        The direct (real-out prefill) mid/side terms are zero here — this
+        renderer has no direct-channel pre-mix — but their all-pass state
+        slots still evolve like the reference's (zeros through the L slot,
+        side through the R slot)."""
+        li, ri, ci = self._stab["idx"]
+        coeff = jnp.float32(self._stab["coeff"])
+        left, right = out[li], out[ri]
+        side = left - right
+        mid = left + right
+        hf, lf, mid_st = f_ops.band_split(mid[None], state["stab_mid"], coeff)
+        new_state["stab_mid"] = mid_st
+        # All-pass every channel: L slot carries the (zero) direct mid,
+        # R slot carries the side signal, others their decoded output.
+        ap_in = out.at[li].set(0.0).at[ri].set(side)
+        ap_out, ap_z = f_ops.all_pass(ap_in, state["stab_ap"], coeff)
+        new_state["stab_ap"] = ap_z
+        c_pi_3 = jnp.float32(np.cos(1.0 / 3.0 * (np.pi * 0.5)))
+        c_pi_4 = jnp.float32(np.cos(1.0 / 4.0 * (np.pi * 0.5)))
+        s_pi_3 = jnp.float32(np.sin(1.0 / 3.0 * (np.pi * 0.5)))
+        s_pi_4 = jnp.float32(np.sin(1.0 / 4.0 * (np.pi * 0.5)))
+        m = lf[0] * c_pi_3 + hf[0] * c_pi_4 + ap_out[li]
+        c = lf[0] * s_pi_3 + hf[0] * s_pi_4
+        s = ap_out[ri]
+        out = ap_out.at[li].set((m + s) * 0.5)
+        out = out.at[ri].set((m - s) * 0.5)
+        out = out.at[ci].add(c * 0.5)
+        return out, new_state
 
     @functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8, 9))
     def _render_chunk(self, state: dict, ev: dict, cfg: dict, pool: jax.Array,
@@ -563,6 +800,8 @@ class RenderDevice:
         if "send_filter_z" in state:
             state["send_filter_z"] = jnp.where(reset[:, None, None, None], 0.0,
                                                state["send_filter_z"])
+        if "nfc_z" in state:
+            state["nfc_z"] = jnp.where(reset[:, None], 0.0, state["nfc_z"])
         del chain  # only keys the jit cache: the slot set is traced via self
         if n_blocks == 1:
             out, state, ev = self._render_one(state, ev, cfg, pool, T, taps,
@@ -806,8 +1045,7 @@ class RenderDevice:
         if self._cfg_dev is None:
             self._derived_cache = {}
             self._refresh_uhj_groups()
-            cfg = {k: jnp.asarray(getattr(self.table, k))
-                   for k in ParamTable._CONFIG}
+            cfg = self._cfg_from_table()
             self._uhj_cfg(cfg)
             mask = self._pending_resets_mask()
             self._cfg_has_resets = bool(mask.any())   # host-known, no readback
@@ -844,6 +1082,35 @@ class RenderDevice:
         self._clock_samples += frames
         return served
 
+    def _cfg_from_table(self) -> dict:
+        """Upload the host ParamTable as the device config dict.
+
+        nfc_w0 materializes on the host into per-row filter coefficients
+        (NfcFilterAdjust, nfc.cpp:75-222); -1 rows get the create-state
+        identity filter."""
+        cfg = {k: jnp.asarray(getattr(self.table, k))
+               for k in ParamTable._CONFIG
+               if k not in ("nfc_w0",)}
+        if self.nfc is not None:
+            w0 = self.table.nfc_w0
+            cf = self.nfc.adjust(np.maximum(w0, 0.0))
+            ident = self.nfc.identity_coeffs(1)
+            cfg["nfc_coeffs"] = jnp.asarray(
+                np.where((w0 < 0.0)[:, None], ident, cf))
+        return cfg
+
+    def clock_ns(self) -> int:
+        """ALC_DEVICE_CLOCK_SOFT: nanoseconds of samples rendered
+        (GetClockLatency / device->getClockTime analog)."""
+        return int(self._clock_samples * 1_000_000_000 // self.sample_rate)
+
+    def clock_latency_ns(self) -> tuple[int, int]:
+        """ALC_DEVICE_CLOCK_LATENCY_SOFT: (clock, latency) — the loopback
+        latency is the rendered-ahead carry."""
+        carry = self._carry.shape[0] if self._carry is not None else 0
+        return self.clock_ns(), int(carry * 1_000_000_000
+                                    // self.sample_rate)
+
     def mark_config_dirty(self) -> None:
         self._cfg_dev = None
 
@@ -868,6 +1135,31 @@ class RenderDevice:
         T_res = T + (uhj_ops.PAD if self._uhj_active() else 0)
         return (rs_pallas.span_for_increment(max_inc, T_res, winw), winw)
 
+    def _apply_distance_comp(self, x: np.ndarray) -> np.ndarray:
+        """Per-channel delay + gain (DistanceComp::process, alu.cpp analog).
+
+        Stateful across calls: each channel carries its last `delay` samples
+        so chunked rendering matches a continuous stream."""
+        delays, gains, bufs = self._dist_comp
+        n = x.shape[0]
+        for c in range(x.shape[1]):
+            d = int(delays[c])
+            if d == 0:
+                if gains[c] != 1.0:
+                    x[:, c] = (x[:, c] * gains[c]).astype(f32)
+                continue
+            col = x[:, c].copy()
+            if n >= d:
+                x[d:, c] = col[:n - d]
+                x[:d, c] = bufs[c]
+                bufs[c][:] = col[n - d:]
+            else:
+                x[:, c] = bufs[c][:n]
+                bufs[c][:d - n] = bufs[c][n:]
+                bufs[c][d - n:] = col
+            x[:, c] = (x[:, c] * gains[c]).astype(f32)
+        return x
+
     def _pending_resets_mask(self) -> np.ndarray:
         mask = np.zeros(self.capacity, bool)
         if self._pending_resets:
@@ -880,6 +1172,11 @@ class RenderDevice:
 
         The limiter and dither run in <=1024-frame blocks, matching the
         reference's renderSamples cadence, on the decoded host output."""
+        if self._bs2b is not None:
+            left, right = self._bs2b.cross_feed(x[:, 0], x[:, 1])
+            x = np.stack([left, right], axis=1)
+        if self._dist_comp is not None:
+            x = self._apply_distance_comp(np.ascontiguousarray(x))
         if self.limiter is not None:
             x = np.ascontiguousarray(x)
             for i in range(0, x.shape[0], BUFFER_LINE_SIZE):

@@ -229,6 +229,13 @@ class RendererLayout:
     xover_f0norm: float = 0.0
     avg_speaker_dist: float = 0.0
     nfc_enabled: bool = False
+    # HRTF mode only: True = per-voice HRIR rendering ("full" hrtf-mode);
+    # False = voices pan normally onto the ambi bus, only the baked decode
+    # is binaural ("ambi1".."ambi4", panning.cpp:1062-1094).
+    hrtf_full: bool = True
+    # Stereo UHJ output: the FOA dry bus (FuMa2D order) encodes to L/R
+    # through the UHJ encoder instead of a decode matrix.
+    uhj_output: bool = False
 
 
 def init_panning(fmt: DevFmtChannels, sample_rate: int, *,
@@ -237,7 +244,10 @@ def init_panning(fmt: DevFmtChannels, sample_rate: int, *,
                  ambi_order: int = 1,
                  ambi_layout: AmbiLayout = AmbiLayout.ACN,
                  ambi_scaling: AmbiScaling = AmbiScaling.N3D,
-                 xover_freq: float = 400.0) -> RendererLayout:
+                 xover_freq: float = 400.0,
+                 hrtf_full: bool = True,
+                 decoder=None,
+                 stereo_encoding: str | None = None) -> RendererLayout:
     """Build the speaker/ambisonic rendering layout (panning.cpp InitPanning).
 
     For Ambi3D output the dry bus is the output itself; for speaker formats a
@@ -257,6 +267,22 @@ def init_panning(fmt: DevFmtChannels, sample_rate: int, *,
             real_channels=real_channels,
             channel_index={ch: i for i, ch in enumerate(real_channels)},
             xover_f0norm=float(xover_freq) / float(sample_rate),
+            hrtf_full=hrtf_full,
+        )
+
+    if fmt == DevFmtChannels.STEREO and stereo_encoding == "uhj":
+        # InitUhjPanning (panning.cpp:1140-1162): always 2D first-order,
+        # FuMa channel order (W, X, Y), N3D content scale.
+        acnmap = ambidefs.INDEX_FROM_FUMA_2D[:3]
+        scales = ambi_scales(AmbiScaling.N3D)
+        real_channels = DEVICE_CHANNEL_ORDER[DevFmtChannels.STEREO]
+        return RendererLayout(
+            mode=RenderMode.NORMAL, ambi_order=1, m2d_mixing=True,
+            dry_acn=acnmap.astype(np.int32),
+            dry_scale=(1.0 / scales[acnmap]).astype(f32), n_dry=3,
+            real_channels=real_channels,
+            channel_index={ch: i for i, ch in enumerate(real_channels)},
+            uhj_output=True,
         )
 
     if fmt == DevFmtChannels.AMBI3D:
@@ -270,7 +296,10 @@ def init_panning(fmt: DevFmtChannels, sample_rate: int, *,
             real_channels=[], channel_index={},
         )
 
-    cfg = BUILTIN_DECODERS[fmt]
+    # Custom ambdec decoder replaces the built-in layout (panning.cpp:763)
+    cfg = decoder if decoder is not None else BUILTIN_DECODERS[fmt]
+    if decoder is not None:
+        xover_freq = decoder.xover_freq
     periphonic = cfg.periphonic
     ambicount = (ambidefs.channels_from_order(cfg.order) if periphonic
                  else ambidefs.channels_from_order_2d(cfg.order))
@@ -284,7 +313,9 @@ def init_panning(fmt: DevFmtChannels, sample_rate: int, *,
     dec_hf = np.zeros((len(real_channels), ambicount), f32)
     dec_lf = np.zeros_like(dec_hf) if dual_band else None
     for i, ch in enumerate(cfg.channels):
-        idx = channel_index[ch]
+        idx = channel_index.get(ch)
+        if idx is None:   # decoder names a channel the device lacks
+            continue      # (panning.cpp:771 "Failed to find channel")
         gains = cfg.order_gain[ordermap[:ambicount]]
         dec_hf[idx] = (cfg.coeffs[i, :ambicount] * gains).astype(f32)
         if dual_band:

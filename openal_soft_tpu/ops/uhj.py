@@ -312,3 +312,44 @@ def super_stereo_decode_iir(chans: jax.Array, st: dict, width: jax.Array,
     y = f32(SS_Y_D) * f1d_y + f32(SS_Y_JS) * js
     new_st = {"f2dt": f2dt, "f1s": f1s, "f1dt": f1dt, "f2s": f2s}
     return jnp.stack([w, x, y], axis=1), new_st
+
+
+# --- UHJ output encoding (UhjEncoderIIR::encode, uhjfilter.cpp:231-277) ------
+
+ENC_IIR_S_W, ENC_IIR_S_X = 0.4698463, 0.0757602682546
+ENC_IIR_D_W, ENC_IIR_D_X = -0.17101005, 0.208149636675
+ENC_IIR_D_Y = 0.267586995182
+
+
+def uhj_encoder_iir_state() -> dict:
+    return {
+        "enc_f1wx": jnp.zeros((1, 4, 2), jnp.float32),
+        "enc_f2wx": jnp.zeros((1, 4, 2), jnp.float32),
+        "enc_f1y": jnp.zeros((1, 4, 2), jnp.float32),
+        "enc_dwx": jnp.zeros(1, jnp.float32),
+        "enc_dy": jnp.zeros(1, jnp.float32),
+    }
+
+
+def uhj_encode_iir(w: jax.Array, x: jax.Array, y: jax.Array, st: dict,
+                   T: int):
+    """FOA (W, X, Y) [T] -> (left, right, st') — the default IIR tier.
+
+    The S and Y filter1 paths are delayed one sample relative to the
+    filter2 (j) path, exactly the mDelayWX/mDelayY alignment of
+    uhjfilter.cpp:244/253; the direct-output term is zero here (the dry
+    bus carries everything — no real-out prefill in this renderer).
+    """
+    s_f, f1wx = _allpass4((f32(ENC_IIR_S_W) * w
+                           + f32(ENC_IIR_S_X) * x)[None],
+                          st["enc_f1wx"], FILTER1_COEFF)
+    s = jnp.concatenate([st["enc_dwx"], s_f[0][:T - 1]])
+    jwx, f2wx = _allpass4((f32(ENC_IIR_D_W) * w
+                           + f32(ENC_IIR_D_X) * x)[None],
+                          st["enc_f2wx"], FILTER2_COEFF)
+    y_f, f1y = _allpass4(y[None], st["enc_f1y"], FILTER1_COEFF)
+    yd = jnp.concatenate([st["enc_dy"], y_f[0][:T - 1]])
+    d = jwx[0] + f32(ENC_IIR_D_Y) * yd
+    st2 = {"enc_f1wx": f1wx, "enc_f2wx": f2wx, "enc_f1y": f1y,
+           "enc_dwx": s_f[0][T - 1:T], "enc_dy": y_f[0][T - 1:T]}
+    return s + d, s - d, st2
