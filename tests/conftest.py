@@ -1,18 +1,39 @@
-"""Test configuration: force an 8-device virtual CPU platform for JAX.
+"""Test configuration: JAX platform + compilation-cache setup.
 
-Multi-chip sharding is validated on a virtual CPU mesh; real-TPU runs happen
-via bench.py / the driver's dryrun harness.  Must run before jax imports.
+Platform policy: the suite runs on whatever JAX's default backend is — on
+this machine that is the real TPU via the axon plugin (fast ~30-60 s graph
+compiles; note the plugin *overrides* the JAX_PLATFORMS env var at
+interpreter startup, so env-var forcing does not work).  Multi-chip
+sharding tests build their mesh from ``jax.devices("cpu")`` explicitly —
+the virtual 8-device CPU platform registered below coexists with the TPU.
+
+Set OPENAL_CPU_TESTS=1 to force everything onto XLA:CPU (no TPU needed);
+full render-graph compiles there take minutes per new graph shape even
+with the flags below, but the persistent compilation cache amortizes
+across runs.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     _flags += " --xla_force_host_platform_device_count=8"
 # XLA:CPU's region-analysis copy insertion and concurrency scheduler take
-# minutes on the render graph (gather chain + scan); disable both for tests.
+# minutes on the render graph (gather chain + scan); disable both.
 if "copy_insertion_use_region_analysis" not in _flags:
     _flags += (" --xla_cpu_copy_insertion_use_region_analysis=false"
                " --xla_cpu_enable_concurrency_optimized_scheduler=false")
 os.environ["XLA_FLAGS"] = _flags.strip()
+
+import jax  # noqa: E402
+
+if os.environ.get("OPENAL_CPU_TESTS") == "1":
+    # Must win over the axon plugin's own jax_platforms override; a config
+    # update before any backend initializes does.
+    jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: render-graph compiles are seconds (TPU) to
+# minutes (CPU); cache them across test processes and runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/openal_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
