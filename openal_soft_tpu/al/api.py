@@ -153,6 +153,22 @@ def alBufferData(bid: int, fmt: int, data, freq: int) -> None:
     _ctx().buffers[bid].set_data(np.asarray(data), channels, styp, freq)
 
 
+def alBufferCallbackSOFT(bid: int, fmt: int, freq: int, callback) -> None:
+    """AL_SOFT_callback_buffer: ``callback(frames) -> samples`` streams the
+    buffer on demand; a short return ends the stream (al/buffer.cpp:874)."""
+    channels, styp = _FORMATS[fmt]
+    _ctx().buffers[bid].set_callback(callback, channels, styp, freq)
+
+
+def alBufferDataRaw(bid: int, fmt: int, data: bytes, freq: int) -> None:
+    """C-ABI variant: raw little-endian sample bytes (native/alc_shim.cpp)."""
+    channels, styp = _FORMATS[fmt]
+    dtype = {"uint8": np.uint8, "int16": np.int16,
+             "float32": np.float32}[styp]
+    _ctx().buffers[bid].set_data(np.frombuffer(data, dtype), channels,
+                                 styp, freq)
+
+
 # --- sources ------------------------------------------------------------------
 
 def alGenSources(n: int = 1):
@@ -412,7 +428,8 @@ _AL_EXTENSION_LIST = (
     "AL_EXT_FLOAT32 AL_EXT_IMA4 AL_EXT_LINEAR_DISTANCE AL_EXT_MCFORMATS "
     "AL_EXT_MULAW AL_EXT_MULAW_BFORMAT AL_EXT_OFFSET "
     "AL_EXT_SOURCE_RADIUS AL_EXT_STEREO_ANGLES "
-    "AL_SOFT_bformat_ex AL_SOFT_block_alignment AL_SOFT_deferred_updates "
+    "AL_SOFT_bformat_ex AL_SOFT_block_alignment AL_SOFT_callback_buffer "
+    "AL_SOFT_deferred_updates "
     "AL_SOFT_direct_channels AL_SOFT_events AL_SOFT_gain_clamp_ex "
     "AL_SOFT_loop_points AL_SOFT_MSADPCM AL_SOFT_source_latency "
     "AL_SOFT_source_length AL_SOFT_source_resampler "

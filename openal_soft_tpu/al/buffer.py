@@ -42,6 +42,12 @@ class Buffer:
         self.data: np.ndarray | None = None     # [channels, frames] f32
         self.pool_offset = -1
         self.refcount = 0
+        # AL_SOFT_callback_buffer streaming state
+        self.callback = None
+        self.cb_type: FmtType | None = None
+        self.cb_fill = 0
+        self.cb_done = False
+        self.plane_stride = 0
 
     def set_data(self, data, channels: str | FmtChannels, sample_type: str | FmtType,
                  sample_rate: int, *, ambi_order: int = 0,
@@ -82,6 +88,41 @@ class Buffer:
             pool.free(self.pool_offset, self._pool_size)
         self.pool_offset = pool.alloc(self.data)
         self._pool_size = self.data.size
+
+    # AL_SOFT_callback_buffer: a fixed pool segment streams from a pull
+    # callback instead of holding static data.  ~16k frames covers a full
+    # 1024-frame dispatch at the 10x max pitch plus resampler padding.
+    CB_SEGMENT = 16384
+
+    def set_callback(self, callback, channels: str | FmtChannels,
+                     sample_type: str | FmtType, sample_rate: int) -> None:
+        """alBufferCallbackSOFT (al/buffer.cpp:874).
+
+        ``callback(frames) -> array`` returns up to ``frames`` interleaved
+        samples of the declared type; returning fewer (or none) ends the
+        stream.  The host pulls ahead of the voice each dispatch
+        (alc/context.py:_feed_callbacks)."""
+        fmt = _FMT_CHANNELS[channels] if isinstance(channels, str) else channels
+        styp = FmtType(sample_type) if isinstance(sample_type, str) else sample_type
+        from ..core.devformat import is_ambisonic
+        nch = channels_from_fmt(fmt, 1 if is_ambisonic(fmt) else 0)
+        self.fmt_channels = fmt
+        self.sample_rate = int(sample_rate)
+        self.channels = nch
+        self.sample_len = 0
+        self.loop_start = self.loop_end = 0
+        self.data = None
+        self.callback = callback
+        self.cb_type = styp
+        self.cb_fill = 0
+        self.cb_done = False
+        self.plane_stride = self.CB_SEGMENT
+        pool = self.context.device.pool
+        if self.pool_offset >= 0:
+            pool.free(self.pool_offset, self._pool_size)
+        self.pool_offset = pool.alloc(np.zeros(nch * self.CB_SEGMENT,
+                                               np.float32))
+        self._pool_size = nch * self.CB_SEGMENT
 
     def set_loop_points(self, start: int, end: int) -> None:
         if not (0 <= start < end <= self.sample_len):

@@ -91,8 +91,10 @@ class Source:
         """alSourcePlay → StartSources (al/source.cpp:2561)."""
         ctx = self.context
         dev = ctx.device
-        if not self.queue or self.queue[0].sample_len == 0:
+        if not self.queue or (self.queue[0].sample_len == 0
+                              and self.queue[0].callback is None):
             # No audio to play; sources with an empty queue go stopped.
+            # (Callback buffers start empty and fill on demand.)
             self.state = SourceState.STOPPED
             return
 
@@ -128,7 +130,10 @@ class Source:
                               else buf0.ambi_scaling)
         v.queue = [BufferItem(pool_offset=b.pool_offset, sample_len=b.sample_len,
                               loop_start=b.loop_start, loop_end=b.loop_end,
-                              channels=b.channels) for b in self.queue]
+                              channels=b.channels,
+                              callback=(b if b.callback is not None else None),
+                              plane_stride=b.plane_stride)
+                   for b in self.queue]
         v.queue_index = 0
         if (self.state == SourceState.PAUSED and old_voice is not None
                 and self.offset == 0):

@@ -196,6 +196,7 @@ class Context:
                 self._update_voice_params(v)
                 v.props_dirty = False
                 self.device.mark_config_dirty()
+        self._feed_callbacks(block_len)
         self._pack_block_fields(block_len)
 
     def event_horizon_blocks(self, T: int) -> int:
@@ -354,6 +355,64 @@ class Context:
             t.send_filter_counter[r, snd] = 0
             t.send_filter_coeffs[r, snd] = new_target
 
+    def _feed_callbacks(self, block_len: int) -> None:
+        """Pull callback-buffer samples ahead of each dispatch.
+
+        AL_SOFT_callback_buffer (al/buffer.cpp:874 + core/voice.cpp's
+        mCallback pulls): the host fetches enough interleaved samples from
+        the app callback to cover this dispatch at the voice's pitch (plus
+        resampler padding), decodes to planar f32 in the buffer's fixed
+        pool segment, and compacts the segment as the voice advances.  A
+        short or empty return marks end-of-stream; the voice then ends at
+        the final fill count through the normal queue logic."""
+        from ..constants import MAX_RESAMPLER_PADDING
+        from ..core.devformat import decode_to_float32
+
+        pool = self.device.pool
+        for v in self.voices:
+            if not v.rows or v.state != PlayState.PLAYING:
+                continue
+            item = v.current_buffer()
+            if item is None or item.callback is None:
+                continue
+            buf = item.callback          # the al Buffer holding cb state
+            seg = buf.plane_stride
+            host = pool._host
+
+            # Compact: drop consumed frames once past half the segment.
+            if v.position > seg // 2:
+                shift = v.position
+                keep = max(buf.cb_fill - shift, 0)
+                for c in range(buf.channels):
+                    base = buf.pool_offset + c * seg
+                    host[base:base + keep] = \
+                        host[base + shift:base + shift + keep]
+                buf.cb_fill = keep
+                v.position = 0
+                pool._dirty = True
+                self.device.mark_config_dirty()
+
+            need = (v.position + ((v.step * block_len) >> MIXER_FRAC_BITS)
+                    + MAX_RESAMPLER_PADDING + 2)
+            while not buf.cb_done and buf.cb_fill < min(need, seg):
+                want = min(4096, seg - buf.cb_fill)
+                arr = np.asarray(buf.callback(want))
+                flat = decode_to_float32(arr.ravel(), buf.cb_type)
+                frames = flat.size // buf.channels
+                planar = flat[:frames * buf.channels].reshape(
+                    frames, buf.channels).T
+                for c in range(buf.channels):
+                    base = buf.pool_offset + c * seg + buf.cb_fill
+                    host[base:base + frames] = planar[c]
+                buf.cb_fill += frames
+                pool._dirty = True
+                if frames < want:
+                    buf.cb_done = True
+            new_len = buf.cb_fill
+            if item.sample_len != new_len:
+                item.sample_len = new_len
+                self.device.mark_config_dirty()
+
     def _pack_block_fields(self, block_len: int) -> None:
         """Per-dispatch row refresh: positions, fade counters, play state.
 
@@ -392,7 +451,8 @@ class Context:
                         h_wrap.append(False)
                         continue
                     chan = min(c, buf.channels - 1)
-                    s_off.append(buf.pool_offset + chan * buf.sample_len)
+                    stride = buf.plane_stride or buf.sample_len
+                    s_off.append(buf.pool_offset + chan * stride)
                     s_len.append(buf.sample_len)
                     l_start.append(buf.loop_start)
                     l_end.append(max(buf.loop_end, buf.loop_start + 1))

@@ -44,6 +44,7 @@ from ..ops.pallas import biquad as biq_pallas
 from ..ops.pallas import resample2 as rs_pallas
 from . import context as ctx_mod
 from . import hrtf as hrtf_mod
+from . import logging as log
 from . import mastering
 from . import panning
 from .devformat import Channel, DevFmtChannels, DevFmtType
@@ -252,8 +253,11 @@ class RenderDevice:
                 from ..alc import config as _alconf
                 enc = (_alconf.config_value_str("", "stereo-encoding")
                        or "").lower()
-                if enc in ("uhj", "superstereo"):
+                if enc == "uhj":
                     stereo_encoding = "uhj"
+                    render_mode = panning.RenderMode.NORMAL
+                elif enc == "tsme":
+                    stereo_encoding = "tsme"
                     render_mode = panning.RenderMode.NORMAL
                 elif enc == "hrtf":
                     render_mode = panning.RenderMode.HRTF
@@ -296,6 +300,7 @@ class RenderDevice:
                     conf = ambdec_mod.load_ambdec(decopt)
                     custom_decoder = ambdec_mod.make_decoder(conf,
                                                              fmt_channels)
+                    log.trace("Using %s decoder: %s", key, conf.description)
         self.layout = panning.init_panning(
             fmt_channels, self.sample_rate, hq_decode=hq_decode,
             render_mode=render_mode, ambi_order=ambi_order,
@@ -311,6 +316,9 @@ class RenderDevice:
             store = hrtf_mod.load_hrtf(self.sample_rate, path=hrtf_path)
             self.hrtf_store = (store if store is not None
                                else hrtf_mod.make_synthetic_hrtf(self.sample_rate))
+            log.trace("HRTF enabled: %s order, rate %d, ir %d",
+                      ambi_order, self.hrtf_store.sample_rate,
+                      self.hrtf_store.ir_size)
             self.ir_size = self.hrtf_store.ir_size
             self._direct_hrtf = hrtf_mod.build_direct_hrtf(
                 self.hrtf_store, self.ir_size, ambi_order)
@@ -343,7 +351,8 @@ class RenderDevice:
             elif self.layout.uhj_output:
                 # ~2 m default control distance (panning.cpp:1153-1161)
                 ctrl = alconf.config_value_float("uhj", "distance-ref", 2.0)
-            elif self.layout.dec_hf is None:   # Ambi3D output
+            elif (self.layout.dec_hf is None
+                  and fmt_channels == DevFmtChannels.AMBI3D):
                 ctrl = alconf.config_value_float("decoder", "speaker-dist",
                                                  0.0) or 0.0
             if ctrl > 0.0:
@@ -352,6 +361,8 @@ class RenderDevice:
                            / (f32(self.avg_speaker_dist)
                               * f32(self.sample_rate)))
                 self.nfc = nfc_ops.NfcDeviceConsts(w1)
+                log.trace("Using near-field reference distance: %.2f meters",
+                          self.avg_speaker_dist)
         # Dry-channel spans per ambisonic order (contiguous in ACN order).
         # dry_acn holds true ACN indices for both 2D and 3D buses, so
         # floor(sqrt(acn)) is the order in either mixing mode.
@@ -423,6 +434,10 @@ class RenderDevice:
         # The Pallas resampler is the TPU production path; the jnp path is
         # the CPU/test reference (ARCHITECTURE.md "perf kernel tier").
         self._pallas_ok = jax.default_backend() == "tpu"
+        # Accelerator-loss fallback (alu.cpp:2499 analog): one-way switch
+        # to XLA:CPU on a runtime error mid-render.
+        self._cpu_fallback = False
+        self._cpu_dev = None
         self._cfg_dev = None
         self._ev_dev = None   # device-evolved copy of the _EVOLVING fields
         self._cfg_has_resets = False
@@ -540,6 +555,8 @@ class RenderDevice:
             state["nfc_z"] = jnp.zeros((L, nfc_ops.NUM_STATES), jnp.float32)
         if self.layout.uhj_output:
             state.update(uhj_ops.uhj_encoder_iir_state())
+        if self.layout.tsme_output:
+            state.update(uhj_ops.tsme_encoder_iir_state())
         if self._stab is not None:
             state["stab_mid"] = jnp.zeros((1, 3), jnp.float32)
             state["stab_ap"] = jnp.zeros(self.n_real, jnp.float32)
@@ -727,6 +744,16 @@ class RenderDevice:
             left, right, enc2 = uhj_ops.uhj_encode_iir(
                 dry[0], dry[1], dry[2],
                 {k: state[k] for k in uhj_ops.uhj_encoder_iir_state()}, T)
+            new_state.update(enc2)
+            out = jnp.stack([left, right])
+            if out_real_extra is not None:
+                out = out + out_real_extra
+            return out, new_state, new_ev
+        if self.layout.tsme_output:
+            # TsmePostProcess: ACN FOA dry bus (W, Y, Z, X rows) encoded.
+            left, right, enc2 = uhj_ops.tsme_encode_iir(
+                dry[0], dry[1], dry[2], dry[3],
+                {k: state[k] for k in uhj_ops.tsme_encoder_iir_state()}, T)
             new_state.update(enc2)
             out = jnp.stack([left, right])
             if out_real_extra is not None:
@@ -1021,6 +1048,13 @@ class RenderDevice:
     _GRAIN = 128  # kernel tiling unit: filters need T%32, HRTF/echo T%128
 
     def _render_dispatch(self, out: np.ndarray, done: int, remaining: int) -> int:
+        if self._cpu_fallback:
+            with jax.default_device(self._cpu_dev):
+                return self._render_dispatch_inner(out, done, remaining)
+        return self._render_dispatch_inner(out, done, remaining)
+
+    def _render_dispatch_inner(self, out: np.ndarray, done: int,
+                               remaining: int) -> int:
         for ctx in self.contexts:
             ctx.process_updates()
 
@@ -1062,11 +1096,31 @@ class RenderDevice:
         ev = (self._ev_dev if self._ev_dev is not None
               else self.table.evolving_dict())
 
-        blocks, self._state, self._ev_dev = self._render_chunk(
-            self._state, ev, self._cfg_dev, self.pool.device_array(), T,
-            n_blocks, self._taps, self._chain_signature(), self._rs_plan(T),
-            self._get_derived(T))
-        arr = np.asarray(jax.device_get(blocks))           # [n_blocks, C, T]
+        try:
+            blocks, self._state, self._ev_dev = self._render_chunk(
+                self._state, ev, self._cfg_dev, self.pool.device_array(), T,
+                n_blocks, self._taps, self._chain_signature(),
+                self._rs_plan(T), self._get_derived(T))
+            arr = np.asarray(jax.device_get(blocks))       # [n_blocks, C, T]
+        except jax.errors.JaxRuntimeError as e:
+            # Accelerator failure mid-render (the alu.cpp:2499 disconnect
+            # analog): migrate the device state to XLA:CPU and re-render
+            # this dispatch there.  One-way: the device stays on CPU.
+            if self._cpu_fallback:
+                raise
+            log.err("accelerator error, falling back to CPU render: %s",
+                    str(e).splitlines()[0] if str(e) else e)
+            self._migrate_to_cpu()
+            # The dead device's evolved copy is unreachable; the host
+            # mirror is bit-identical by design, so re-render from it.
+            ev = self.table.evolving_dict()
+            with jax.default_device(self._cpu_dev):
+                blocks, self._state, self._ev_dev = self._render_chunk(
+                    self._state, ev, self._cfg_dev,
+                    self.pool.device_array(), T, n_blocks, self._taps,
+                    self._chain_signature(), self._rs_plan(T),
+                    self._get_derived(T))
+                arr = np.asarray(jax.device_get(blocks))
         frames = n_blocks * T
         flat = arr.transpose(0, 2, 1).reshape(frames, -1)
         served = min(frames, remaining)
@@ -1098,6 +1152,32 @@ class RenderDevice:
             cfg["nfc_coeffs"] = jnp.asarray(
                 np.where((w0 < 0.0)[:, None], ident, cf))
         return cfg
+
+    def _migrate_to_cpu(self) -> None:
+        """Move all device-resident state to XLA:CPU after an accelerator
+        failure; caches derived from the dead device are dropped (config,
+        evolved copies, pool upload, FFT spectra)."""
+        self._cpu_fallback = True
+        self._cpu_dev = jax.devices("cpu")[0]
+        self._pallas_ok = False
+        self._state = jax.device_put(jax.device_get(self._state),
+                                     self._cpu_dev)
+        self._cfg_dev = None
+        self._ev_dev = None
+        self._derived_cache = {}
+        self._derived_fn = None
+        self.pool._device = None
+        self.pool._dirty = True
+        # The jit caches re-trace per device placement; with the config
+        # rebuilt under default_device(cpu) every input lands on the CPU.
+        with jax.default_device(self._cpu_dev):
+            cfg = self._cfg_from_table()
+            self._uhj_cfg(cfg)
+            cfg["reset_rows"] = jnp.asarray(np.zeros(self.capacity, bool))
+            for i, slot in enumerate(self.slots):
+                cfg[f"slot{i}"] = {k: jnp.asarray(v)
+                                   for k, v in slot.compute_update().items()}
+            self._cfg_dev = cfg
 
     def clock_ns(self) -> int:
         """ALC_DEVICE_CLOCK_SOFT: nanoseconds of samples rendered

@@ -236,6 +236,8 @@ class RendererLayout:
     # Stereo UHJ output: the FOA dry bus (FuMa2D order) encodes to L/R
     # through the UHJ encoder instead of a decode matrix.
     uhj_output: bool = False
+    # Stereo TSME output: full-3D FOA ACN bus through the TSME encoder.
+    tsme_output: bool = False
 
 
 def init_panning(fmt: DevFmtChannels, sample_rate: int, *,
@@ -283,6 +285,21 @@ def init_panning(fmt: DevFmtChannels, sample_rate: int, *,
             real_channels=real_channels,
             channel_index={ch: i for i, ch in enumerate(real_channels)},
             uhj_output=True,
+        )
+
+    if fmt == DevFmtChannels.STEREO and stereo_encoding == "tsme":
+        # InitTsmePanning (panning.cpp:1164-1177): always 3D first-order,
+        # ACN channel order, N3D content scale.
+        acnmap = ambidefs.INDEX_FROM_ACN[:4]
+        scales = ambi_scales(AmbiScaling.N3D)
+        real_channels = DEVICE_CHANNEL_ORDER[DevFmtChannels.STEREO]
+        return RendererLayout(
+            mode=RenderMode.NORMAL, ambi_order=1, m2d_mixing=False,
+            dry_acn=acnmap.astype(np.int32),
+            dry_scale=(1.0 / scales[acnmap]).astype(f32), n_dry=4,
+            real_channels=real_channels,
+            channel_index={ch: i for i, ch in enumerate(real_channels)},
+            tsme_output=True,
         )
 
     if fmt == DevFmtChannels.AMBI3D:

@@ -117,7 +117,9 @@ class BufferItem:
     loop_start: int = 0
     loop_end: int = 0
     channels: int = 1           # buffer channel count (planar span stride)
-    callback: object = None
+    callback: object = None     # AL_SOFT_callback_buffer source Buffer
+    plane_stride: int = 0       # pool frames between channel planes
+                                # (0 = sample_len; callback segments differ)
 
 
 class Voice:

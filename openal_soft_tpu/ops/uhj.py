@@ -353,3 +353,42 @@ def uhj_encode_iir(w: jax.Array, x: jax.Array, y: jax.Array, st: dict,
     st2 = {"enc_f1wx": f1wx, "enc_f2wx": f2wx, "enc_f1y": f1y,
            "enc_dwx": s_f[0][T - 1:T], "enc_dy": y_f[0][T - 1:T]}
     return s + d, s - d, st2
+
+
+# --- TSME output encoding (TsmeEncoderIIR::encode, tsmefilter.cpp:280-329) ---
+
+TSME_S_W, TSME_S_X, TSME_S_Z = 0.288397341271, 0.166565447888, 0.187684284734
+TSME_D_W, TSME_D_X = 0.444008050325, -0.256439256487
+TSME_D_Y = 0.333238912931
+
+
+def tsme_encoder_iir_state() -> dict:
+    return {
+        "tsme_f1wxz": jnp.zeros((1, 4, 2), jnp.float32),
+        "tsme_f2wx": jnp.zeros((1, 4, 2), jnp.float32),
+        "tsme_f1y": jnp.zeros((1, 4, 2), jnp.float32),
+        "tsme_dwxz": jnp.zeros(1, jnp.float32),
+        "tsme_dy": jnp.zeros(1, jnp.float32),
+    }
+
+
+def tsme_encode_iir(w: jax.Array, y: jax.Array, z: jax.Array, x: jax.Array,
+                    st: dict, T: int):
+    """FOA ACN (W, Y, Z, X) [T] -> (left, right, st').
+
+    Tetraphonic surround matrix encoding: like the UHJ encoder but with
+    the height (Z) folded into the S sum; same one-sample filter1-path
+    delay alignment (tsmefilter.cpp:296/305)."""
+    s_f, f1wxz = _allpass4((f32(TSME_S_W) * w + f32(TSME_S_X) * x
+                            + f32(TSME_S_Z) * z)[None],
+                           st["tsme_f1wxz"], FILTER1_COEFF)
+    s = jnp.concatenate([st["tsme_dwxz"], s_f[0][:T - 1]])
+    jwx, f2wx = _allpass4((f32(TSME_D_W) * w
+                           + f32(TSME_D_X) * x)[None],
+                          st["tsme_f2wx"], FILTER2_COEFF)
+    y_f, f1y = _allpass4(y[None], st["tsme_f1y"], FILTER1_COEFF)
+    yd = jnp.concatenate([st["tsme_dy"], y_f[0][:T - 1]])
+    d = jwx[0] + f32(TSME_D_Y) * yd
+    st2 = {"tsme_f1wxz": f1wxz, "tsme_f2wx": f2wx, "tsme_f1y": f1y,
+           "tsme_dwxz": s_f[0][T - 1:T], "tsme_dy": y_f[0][T - 1:T]}
+    return s + d, s - d, st2

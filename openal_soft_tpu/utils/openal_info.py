@@ -25,11 +25,21 @@ def main() -> None:
                     "fast_bsinc12", "bsinc24", "fast_bsinc24", "bsinc48",
                     "fast_bsinc48")))
     print("effects:", ", ".join(sorted(effect_registry)))
+    from ..al import api
+    from ..core import hrtf as hrtf_mod
+
+    print("AL extensions:", api.alGetString(api.AL_EXTENSIONS))
+    print("ALC extensions:", api.alcGetString(None, api.ALC_EXTENSIONS))
+    sets = hrtf_mod.enumerate_hrtf()
+    print(f"hrtf data sets ({len(sets)}):",
+          ", ".join(n for n, _ in sets) or "(none)")
     hdev = LoopbackDevice(frequency=48000, channels="stereo", hrtf=True,
                           capacity=16)
     hs = hdev.hrtf_store
     print(f"hrtf: {hs.sample_rate} Hz, irSize {hs.ir_size}, "
           f"{len(hs.field_distances)} field(s), {hs.coeffs.shape[0]} HRIRs")
+    from ..al.presets import REVERB_PRESETS
+    print(f"reverb presets: {len(REVERB_PRESETS)}")
 
 
 if __name__ == "__main__":
