@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import threading
 
 import numpy as np
 
@@ -42,6 +43,7 @@ from ..ops import tables
 from ..ops import uhj as uhj_ops
 from ..ops.pallas import biquad as biq_pallas
 from ..ops.pallas import resample2 as rs_pallas
+from ..ops.pallas import resample_unit as rs_unit
 from . import context as ctx_mod
 from . import hrtf as hrtf_mod
 from . import logging as log
@@ -78,13 +80,19 @@ class BufferPool:
                 self._host[off:off + n] = data.ravel()
                 self._dirty = True
                 return off
-        while self._top + n > self._host.size:
+        while self._top + n + 4096 > self._host.size:
             self._host = np.concatenate([self._host, np.zeros(self._host.size, f32)])
         off = self._top
         self._top += n
         self._host[off:off + n] = data.ravel()
         self._dirty = True
         return off
+
+    # Pool-top DMA slack: the Pallas resamplers fetch aligned windows with
+    # up to this much overrun past a buffer's end; keeping the pool array
+    # this much larger than the data top means the window clip
+    # (clip(start, 0, pool_len - fetch)) never engages for in-bounds reads.
+    _SLACK = 4096
 
     def free(self, offset: int, size: int) -> None:
         # Coalesce with adjacent free spans so buffer churn doesn't fragment
@@ -322,7 +330,13 @@ class RenderDevice:
             self.ir_size = self.hrtf_store.ir_size
             self._direct_hrtf = hrtf_mod.build_direct_hrtf(
                 self.hrtf_store, self.ir_size, ambi_order)
-            self._direct_coeffs = np.asarray(self._direct_hrtf.coeffs)
+            # Zero-extend the baked 128-tap decode HRIRs to the voices'
+            # 192-tap (delay-shifted) frame so both accumulate through the
+            # same skew-sum.
+            _dc = np.asarray(self._direct_hrtf.coeffs)
+            self._direct_coeffs = np.concatenate(
+                [_dc, np.zeros((_dc.shape[0], hrtf_mix.HRIR_EXT - _dc.shape[1],
+                                2), f32)], axis=1)
             self._direct_hf_scales = np.asarray(self._direct_hrtf.hf_scales)
             self._hrtf_splitter = f_ops.BandSplitterKernels(
                 float(f_ops.band_splitter_coeff(700.0 / self.sample_rate)),
@@ -425,6 +439,25 @@ class RenderDevice:
         self.pool = BufferPool()
         self.table = ParamTable(capacity, self.n_dry, num_aux_sends,
                                 MAX_AMBI_CHANNELS)
+        # UHJ/TSME codec quality tiers (uhj/decode-filter etc.,
+        # alc/alc.cpp:548-585): iir (default) / fir256 / fir512.
+        def _quality(block: str, key: str) -> str:
+            v = (alconf.config_value_str(block, key) or "iir").lower()
+            return v if v in ("iir", "fir256", "fir512") else "iir"
+        self._uhj_dec_q = _quality("uhj", "decode-filter")
+        self._tsme_dec_q = _quality("tsme", "decode-filter")
+        self._uhj_enc_q = _quality("uhj", "encode-filter")
+        self._tsme_enc_q = _quality("tsme", "encode-filter")
+        self._uhj_enc = None
+        self._tsme_enc = None
+        # Cross-thread protocol: the render thread (backend mixer loop) and
+        # app threads (source property writes, row alloc) serialize on this
+        # lock — the mutex analog of the reference's wait-free prop-swap
+        # discipline (alu.cpp:2009-2013; SURVEY §2.2).  App-side writes that
+        # are single GIL-atomic assignments (props object swaps, dirty
+        # flags) stay lock-free like the reference's atomics.
+        self.lock = threading.RLock()
+        self.connected = True
         self._free_rows = list(range(capacity - 1, -1, -1))
         # Host numpy: closed-over constants materialize on whatever backend
         # traces them (the virtual-CPU sharding mesh as well as the TPU).
@@ -450,8 +483,6 @@ class RenderDevice:
         self._state = self._init_state()
         self._clock_samples = 0
         self._carry: np.ndarray | None = None  # rendered-ahead frames (f32)
-        self._derived_cache: dict = {}
-        self._derived_fn = None
         self._uhj_groups: dict = {"u2": [], "u3": [], "u4": [], "ss": []}
 
         # BS2B crossfeed (panning.cpp:1421-1431): basic stereo, cf_level
@@ -498,25 +529,28 @@ class RenderDevice:
     # --- row allocation ---
 
     def alloc_rows(self, n: int) -> list[int]:
-        if len(self._free_rows) < n:
-            # The reference grows its voice pool on demand (alc.cpp:1952);
-            # here capacity keys the compiled graph shape, so report clearly.
-            raise RuntimeError(
-                f"voice capacity exhausted: {n} rows requested, "
-                f"{len(self._free_rows)} free of {self.capacity} "
-                f"(raise the device's `capacity` or stop sources first)")
-        rows = [self._free_rows.pop() for _ in range(n)]
-        for r in rows:
-            self.table.clear_row(r)
-        self._pending_resets.update(rows)
-        self._cfg_dev = None
-        return rows
+        with self.lock:
+            if len(self._free_rows) < n:
+                # The reference grows its voice pool on demand
+                # (alc.cpp:1952); here capacity keys the compiled graph
+                # shape, so report clearly.
+                raise RuntimeError(
+                    f"voice capacity exhausted: {n} rows requested, "
+                    f"{len(self._free_rows)} free of {self.capacity} "
+                    f"(raise the device's `capacity` or stop sources first)")
+            rows = [self._free_rows.pop() for _ in range(n)]
+            for r in rows:
+                self.table.clear_row(r)
+            self._pending_resets.update(rows)
+            self._cfg_dev = None
+            return rows
 
     def free_rows(self, rows: list[int]) -> None:
-        for r in rows:
-            self.table.clear_row(r)
-            self._free_rows.append(r)
-        self._cfg_dev = None
+        with self.lock:
+            for r in rows:
+                self.table.clear_row(r)
+                self._free_rows.append(r)
+            self._cfg_dev = None
 
     def set_taps(self, taps: int) -> None:
         self._taps = max(self._taps, taps)
@@ -554,9 +588,21 @@ class RenderDevice:
         if self.nfc is not None:
             state["nfc_z"] = jnp.zeros((L, nfc_ops.NUM_STATES), jnp.float32)
         if self.layout.uhj_output:
-            state.update(uhj_ops.uhj_encoder_iir_state())
+            if self._uhj_enc_q == "iir":
+                state.update(uhj_ops.uhj_encoder_iir_state())
+            else:
+                self._uhj_enc = uhj_ops.UhjEncoderState(
+                    512 if self._uhj_enc_q == "fir512" else 256)
+                state.update({f"uhjenc_{k}": v
+                              for k, v in self._uhj_enc.init().items()})
         if self.layout.tsme_output:
-            state.update(uhj_ops.tsme_encoder_iir_state())
+            if self._tsme_enc_q == "iir":
+                state.update(uhj_ops.tsme_encoder_iir_state())
+            else:
+                self._tsme_enc = uhj_ops.TsmeEncoderState(
+                    512 if self._tsme_enc_q == "fir512" else 256)
+                state.update({f"tsmeenc_{k}": v
+                              for k, v in self._tsme_enc.init().items()})
         if self._stab is not None:
             state["stab_mid"] = jnp.zeros((1, 3), jnp.float32)
             state["stab_ap"] = jnp.zeros(self.n_real, jnp.float32)
@@ -573,7 +619,7 @@ class RenderDevice:
 
     def _render_one(self, state: dict, ev: dict, cfg: dict, pool: jax.Array,
                     T: int, taps: int, rs_plan: tuple | None = None,
-                    derived: dict = {}, axis_name: str | None = None):
+                    axis_name: str | None = None):
         """One block: returns (out [C,T], state', ev').
 
         With ``axis_name`` set (multi-chip: called under shard_map with the
@@ -586,9 +632,15 @@ class RenderDevice:
         by the fixed-point step, current gains to targets, filter coeffs per
         the interp schedule, the fade counter to zero (with Current==Target
         the continued 64-sample "fade" of the reference is the identity)."""
-        T_res = T + (uhj_ops.PAD if self._uhj_active() else 0)
-        if rs_plan is not None:
-            span, winw = rs_plan
+        T_res = T + self._uhj_pad()
+        if rs_plan is not None and rs_plan[0] == "unit":
+            x = rs_unit.resample_voices_unit(
+                pool.reshape(-1, 128), cfg["src_off"], cfg["src_len"],
+                cfg["loop_start"], cfg["loop_end"], cfg["has_loop"],
+                ev["has_wrapped"], ev["pos_int"], cfg["rs_unit_w"],
+                T_res, taps)
+        elif rs_plan is not None:
+            span, winw = rs_plan[1], rs_plan[2]
             x = rs_pallas.resample_voices_pallas2(
                 pool.reshape(-1, 128), cfg["src_off"], cfg["src_len"],
                 cfg["loop_start"], cfg["loop_end"], cfg["has_loop"],
@@ -711,27 +763,23 @@ class RenderDevice:
 
         if self.layout.mode == panning.RenderMode.HRTF:
             # Voice HRIR convolutions + direct B-Format→binaural decode, all
-            # in one frequency-domain accumulation (ops/hrtf_mix.py).
-            nfft = hrtf_mix.fft_size(T)
-            if not derived:
-                derived = self._hrtf_derived(cfg, T)
+            # time-domain MXU contractions + one skew-sum (ops/hrtf_mix.py).
             x_cat = jnp.concatenate([state["hrtf_history"], x_mix], axis=1)
             new_state["hrtf_history"] = x_cat[:, T:]
             g_eff = jnp.where(cfg["playing"], cfg["hrtf_gain"], 0.0)
-            accum_f = hrtf_mix.hrtf_voices_accum_f(
-                x_cat, derived["C_new"], cfg["hrtf_delay"], g_eff,
-                derived["C_old"], cfg["hrtf_old_delay"],
-                cfg["hrtf_old_gain"], ev["fade"], cfg["active"], T, fade, nfft)
+            y_ext = hrtf_mix.hrtf_voices_accum(
+                x_cat, cfg["hrtf_coeffs"], cfg["hrtf_delay"], g_eff,
+                cfg["hrtf_old_coeffs"], cfg["hrtf_old_delay"],
+                cfg["hrtf_old_gain"], ev["fade"], cfg["active"], T, fade)
             if axis_name is not None:
-                accum_f = jax.lax.psum(accum_f, axis_name)
+                y_ext = jax.lax.psum(y_ext, axis_name)
             # Dry ambi bus (B-Format/UHJ voices) through the baked decode.
             scaled, sp2 = self._hrtf_splitter.hf_scale(
                 dry, state["direct_split"], self._direct_hf_scales)
             new_state["direct_split"] = sp2
-            accum_f = accum_f + hrtf_mix.direct_hrtf_accum_f(
-                scaled, derived["C_dir"], T, nfft)
-            out, new_tail = hrtf_mix.fold_accum(accum_f, state["hrtf_tail"],
-                                                T, nfft)
+            y_ext = y_ext + hrtf_mix.direct_hrtf_accum(
+                scaled, self._direct_coeffs, T)
+            out, new_tail = hrtf_mix.fold_accum(y_ext, state["hrtf_tail"], T)
             new_state["hrtf_tail"] = new_tail
             if out_real_extra is not None:
                 out = out + out_real_extra
@@ -740,21 +788,36 @@ class RenderDevice:
         # Post-process: B-Format decode to real outputs.
         if self.layout.uhj_output:
             # UhjPostProcess (alu.cpp:300): encode the FuMa2D FOA dry bus
-            # (W, X, Y rows) to stereo.
-            left, right, enc2 = uhj_ops.uhj_encode_iir(
-                dry[0], dry[1], dry[2],
-                {k: state[k] for k in uhj_ops.uhj_encoder_iir_state()}, T)
-            new_state.update(enc2)
+            # (W, X, Y rows) to stereo (IIR default or FIR tier per the
+            # uhj/encode-filter config key).
+            if self._uhj_enc is not None:
+                est = {"wxy": state["uhjenc_wxy"],
+                       "jwx_hist": state["uhjenc_jwx_hist"]}
+                est2, left, right = self._uhj_enc.encode(
+                    est, dry[0], dry[1], dry[2], T)
+                new_state.update({f"uhjenc_{k}": v for k, v in est2.items()})
+            else:
+                left, right, enc2 = uhj_ops.uhj_encode_iir(
+                    dry[0], dry[1], dry[2],
+                    {k: state[k] for k in uhj_ops.uhj_encoder_iir_state()}, T)
+                new_state.update(enc2)
             out = jnp.stack([left, right])
             if out_real_extra is not None:
                 out = out + out_real_extra
             return out, new_state, new_ev
         if self.layout.tsme_output:
             # TsmePostProcess: ACN FOA dry bus (W, Y, Z, X rows) encoded.
-            left, right, enc2 = uhj_ops.tsme_encode_iir(
-                dry[0], dry[1], dry[2], dry[3],
-                {k: state[k] for k in uhj_ops.tsme_encoder_iir_state()}, T)
-            new_state.update(enc2)
+            if self._tsme_enc is not None:
+                est = {"wyzx": state["tsmeenc_wyzx"],
+                       "jwx_hist": state["tsmeenc_jwx_hist"]}
+                est2, left, right = self._tsme_enc.encode(
+                    est, dry[0], dry[1], dry[2], dry[3], T)
+                new_state.update({f"tsmeenc_{k}": v for k, v in est2.items()})
+            else:
+                left, right, enc2 = uhj_ops.tsme_encode_iir(
+                    dry[0], dry[1], dry[2], dry[3],
+                    {k: state[k] for k in uhj_ops.tsme_encoder_iir_state()}, T)
+                new_state.update(enc2)
             out = jnp.stack([left, right])
             if out_real_extra is not None:
                 out = out + out_real_extra
@@ -811,7 +874,7 @@ class RenderDevice:
     @functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8, 9))
     def _render_chunk(self, state: dict, ev: dict, cfg: dict, pool: jax.Array,
                       T: int, n_blocks: int, taps: int, chain: tuple,
-                      rs_plan: tuple | None = None, derived: dict = {}):
+                      rs_plan: tuple | None = None):
         """n_blocks consecutive blocks in one dispatch via lax.scan.
 
         Amortizes dispatch/transfer overhead when the host has no pending
@@ -832,13 +895,12 @@ class RenderDevice:
         del chain  # only keys the jit cache: the slot set is traced via self
         if n_blocks == 1:
             out, state, ev = self._render_one(state, ev, cfg, pool, T, taps,
-                                              rs_plan, derived)
+                                              rs_plan)
             return out[None], state, ev
 
         def body(carry, _):
             st, e = carry
-            out, st, e = self._render_one(st, e, cfg, pool, T, taps, rs_plan,
-                                          derived)
+            out, st, e = self._render_one(st, e, cfg, pool, T, taps, rs_plan)
             return (st, e), out
 
         (state, ev), outs = jax.lax.scan(body, (state, ev), None,
@@ -854,6 +916,25 @@ class RenderDevice:
 
     def _uhj_active(self) -> bool:
         return any(self._uhj_groups.values())
+
+    def _uhj_tier(self, kind: str) -> str:
+        """Decode quality for a voice kind: Super Stereo voices use the
+        TSME decoder when the device output is TSME (core/voice.cpp:1232),
+        the UHJ stereo decoder otherwise; UHJ2/3/4 always the UHJ tier."""
+        if kind == "ss" and self.layout.tsme_output:
+            return self._tsme_dec_q
+        return self._uhj_dec_q
+
+    def _uhj_pad(self) -> int:
+        """Resample look-ahead for the active decode tiers (the decoder
+        input padding, uhjfilter.h:111; rounded to the 128-sample kernel
+        grain)."""
+        pad = 0
+        for kind in ("u2", "u3", "u4", "ss"):
+            if self._uhj_groups[kind]:
+                pad = max(pad,
+                          256 if self._uhj_tier(kind) == "fir512" else 128)
+        return pad
 
     def _uhj_decode(self, x: jax.Array, state: dict, cfg: dict, T: int,
                     axis_name: str | None = None):
@@ -882,13 +963,29 @@ class RenderDevice:
             if axis_name is not None:
                 chans = jax.lax.psum(chans, axis_name)
             chans = chans.reshape(n, C, x.shape[1])
-            fnames = self._uhj_filters(kind)
+            tier = self._uhj_tier(kind)
+            fnames = [f for f, _ in self._uhj_state_spec(kind)]
             st = {f: state[f"uhj_{kind}_{f}"] for f in fnames}
-            if kind == "ss":
-                dec, st2 = uhj_ops.super_stereo_decode_iir(
-                    chans, st, cfg["uhj_width"], T)
+            # TSME output devices decode Super Stereo with the reversed
+            # phase-shift convention (core/voice.cpp:1232-1251).
+            jsgn = -1.0 if (kind == "ss" and self.layout.tsme_output) else 1.0
+            if tier == "iir":
+                if kind == "ss":
+                    dec, st2 = uhj_ops.super_stereo_decode_iir(
+                        chans, st, cfg["uhj_width"], T, j_sign=jsgn)
+                else:
+                    dec, st2 = uhj_ops.uhj_decode_iir(chans, st, T, n_in)
             else:
-                dec, st2 = uhj_ops.uhj_decode_iir(chans, st, T, n_in)
+                nfir = 512 if tier == "fir512" else 256
+                ch = chans[:, :, :T + uhj_ops.fir_pad(nfir)]
+                if kind == "ss":
+                    dec, dh, sh = uhj_ops.super_stereo_decode(
+                        ch, st["dt_hist"], st["s_hist"], cfg["uhj_width"],
+                        T, nfir, j_sign=jsgn)
+                else:
+                    dec, dh, sh = uhj_ops.uhj_decode(
+                        ch, st["dt_hist"], st["s_hist"], T, n_in, nfir)
+                st2 = {"dt_hist": dh, "s_hist": sh}
             for f in fnames:
                 new_state[f"uhj_{kind}_{f}"] = st2[f]
             if kind == "u2":
@@ -919,10 +1016,23 @@ class RenderDevice:
                     "ul,ut->lt", G, flat, precision=hi)
         return x_out, new_state
 
-    @staticmethod
-    def _uhj_filters(kind: str) -> tuple:
+    def _uhj_filters(self, kind: str) -> tuple:
+        """IIR decode field names (back-compat; see _uhj_state_spec)."""
         base = ("f2dt", "f1s", "f1dt", "f2s")
         return base + ("f1q",) if kind == "u4" else base
+
+    def _uhj_state_spec(self, kind: str) -> list:
+        """(field, per-voice shape) list for the kind's decode tier."""
+        tier = self._uhj_tier(kind)
+        if tier == "iir":
+            base = [("f2dt", (4, 2)), ("f1s", (4, 2)), ("f1dt", (4, 2)),
+                    ("f2s", (4, 2))]
+            if kind == "u4":
+                base.append(("f1q", (4, 2)))
+            return base
+        n = 512 if tier == "fir512" else 256
+        h = uhj_ops.fir_hist(n)
+        return [("dt_hist", (h,)), ("s_hist", (h,))]
 
     def _refresh_uhj_groups(self) -> None:
         """Rebuild UHJ voice groups + carried decode state on voice churn."""
@@ -941,17 +1051,17 @@ class RenderDevice:
         if all([id(v) for v in old[k]] == [id(v) for v in groups[k]]
                for k in groups):
             return
-        # Remap carried filter states by voice identity.
+        # Remap carried decode states by voice identity (shape per tier).
         for k in groups:
             n_new = len(groups[k])
-            for f in self._uhj_filters(k):
+            for f, shape in self._uhj_state_spec(k):
                 name = f"uhj_{k}_{f}"
                 old_arr = (np.asarray(self._state[name])
                            if name in self._state else None)
                 if not n_new:
                     self._state.pop(name, None)
                     continue
-                arr = np.zeros((n_new, 4, 2), f32)
+                arr = np.zeros((n_new,) + shape, f32)
                 for i, v in enumerate(groups[k]):
                     if v in old[k] and old_arr is not None:
                         arr[i] = old_arr[old[k].index(v)]
@@ -988,38 +1098,6 @@ class RenderDevice:
                 [min(v.props.enh_width, 0.7) for v in self._uhj_groups["ss"]],
                 f32))
 
-    def _hrtf_derived(self, cfg: dict, T: int) -> dict:
-        """HRIR spectra: config-only, computed once per config change and
-        cached host-side (never re-derived inside the render dispatch)."""
-        nfft = hrtf_mix.fft_size(T)
-        return {
-            "C_new": hrtf_mix.coeff_spectra(cfg["hrtf_coeffs"], nfft),
-            "C_old": hrtf_mix.coeff_spectra(cfg["hrtf_old_coeffs"], nfft),
-            "C_dir": jnp.fft.rfft(
-                jnp.asarray(self._direct_coeffs).transpose(0, 2, 1),
-                n=nfft, axis=2),
-        }
-
-    def _get_derived(self, T: int) -> dict:
-        if self.layout.mode != panning.RenderMode.HRTF:
-            return {}
-        nfft = hrtf_mix.fft_size(T)
-        d = self._derived_cache.get(nfft)
-        if d is None:
-            if self._derived_fn is None:
-                self._derived_fn = jax.jit(
-                    lambda c, co, dc, n: {
-                        "C_new": hrtf_mix.coeff_spectra(c, n),
-                        "C_old": hrtf_mix.coeff_spectra(co, n),
-                        "C_dir": jnp.fft.rfft(dc.transpose(0, 2, 1),
-                                              n=n, axis=2),
-                    }, static_argnums=3)
-            d = self._derived_fn(self._cfg_dev["hrtf_coeffs"],
-                                 self._cfg_dev["hrtf_old_coeffs"],
-                                 jnp.asarray(self._direct_coeffs), nfft)
-            self._derived_cache[nfft] = d
-        return d
-
     # --- the render loop ---
 
     def render_samples(self, num_frames: int) -> np.ndarray:
@@ -1034,17 +1112,18 @@ class RenderDevice:
         """
         out = np.empty((num_frames, self.n_real), f32)
         done = 0
-        if self._carry is not None:
+        with self.lock:
+          if self._carry is not None:
             take = min(num_frames, self._carry.shape[0])
             out[:take] = self._carry[:take]
             self._carry = self._carry[take:] if take < self._carry.shape[0] \
                 else None
             done += take
-        while done < num_frames:
+          while done < num_frames:
             done += self._render_dispatch(out, done, num_frames - done)
-        return self._convert_output(out)
+          return self._convert_output(out)
 
-    _CHUNK_SIZES = (64, 8, 1)
+    _CHUNK_SIZES = (256, 64, 8, 1)
     _GRAIN = 128  # kernel tiling unit: filters need T%32, HRTF/echo T%128
 
     def _render_dispatch(self, out: np.ndarray, done: int, remaining: int) -> int:
@@ -1077,7 +1156,6 @@ class RenderDevice:
                     break
 
         if self._cfg_dev is None:
-            self._derived_cache = {}
             self._refresh_uhj_groups()
             cfg = self._cfg_from_table()
             self._uhj_cfg(cfg)
@@ -1100,7 +1178,7 @@ class RenderDevice:
             blocks, self._state, self._ev_dev = self._render_chunk(
                 self._state, ev, self._cfg_dev, self.pool.device_array(), T,
                 n_blocks, self._taps, self._chain_signature(),
-                self._rs_plan(T), self._get_derived(T))
+                self._rs_plan(T))
             arr = np.asarray(jax.device_get(blocks))       # [n_blocks, C, T]
         except jax.errors.JaxRuntimeError as e:
             # Accelerator failure mid-render (the alu.cpp:2499 disconnect
@@ -1118,8 +1196,7 @@ class RenderDevice:
                 blocks, self._state, self._ev_dev = self._render_chunk(
                     self._state, ev, self._cfg_dev,
                     self.pool.device_array(), T, n_blocks, self._taps,
-                    self._chain_signature(), self._rs_plan(T),
-                    self._get_derived(T))
+                    self._chain_signature(), self._rs_plan(T))
                 arr = np.asarray(jax.device_get(blocks))
         frames = n_blocks * T
         flat = arr.transpose(0, 2, 1).reshape(frames, -1)
@@ -1145,6 +1222,12 @@ class RenderDevice:
         cfg = {k: jnp.asarray(getattr(self.table, k))
                for k in ParamTable._CONFIG
                if k not in ("nfc_w0",)}
+        if self._pallas_ok:
+            # Unit-increment tap weights (constant phase per voice; valid
+            # whenever the unit rs_plan is selected).
+            cfg["rs_unit_w"] = jnp.asarray(rs_unit.unit_weights_np(
+                self._bank, self.table.bank_row, self.table.sf,
+                self.table.pos_frac, self._taps))
         if self.nfc is not None:
             w0 = self.table.nfc_w0
             cf = self.nfc.adjust(np.maximum(w0, 0.0))
@@ -1164,8 +1247,6 @@ class RenderDevice:
                                      self._cpu_dev)
         self._cfg_dev = None
         self._ev_dev = None
-        self._derived_cache = {}
-        self._derived_fn = None
         self.pool._device = None
         self.pool._dirty = True
         # The jit caches re-trace per device placement; with the config
@@ -1178,6 +1259,67 @@ class RenderDevice:
                 cfg[f"slot{i}"] = {k: jnp.asarray(v)
                                    for k, v in slot.compute_update().items()}
             self._cfg_dev = cfg
+
+    # --- checkpoint / resume (SURVEY §5: the carried-state pytree IS the
+    # checkpoint; serialize per block for bit-exact resume) ---------------
+
+    def snapshot(self) -> dict:
+        """Serializable checkpoint of all render state at a block boundary.
+
+        Captures the device-resident state pytree (filter z's, HRTF
+        history/tail, effect delay lines), the evolving param mirror, the
+        full SoA table, the rendered-ahead carry, and the device clock.
+        Host object graphs (sources/buffers) are the app's to reconstruct;
+        restoring into an identically-configured device continues the
+        stream bit-exactly (tests/test_checkpoint.py)."""
+        with self.lock:
+            ev = (self._ev_dev if self._ev_dev is not None
+                  else self.table.evolving_dict())
+            return {
+                "state": jax.tree.map(np.asarray, self._state),
+                "ev": {k: np.asarray(v) for k, v in ev.items()},
+                "table": {k: np.asarray(getattr(self.table, k)).copy()
+                          for k in ParamTable._FIELDS},
+                "carry": None if self._carry is None else self._carry.copy(),
+                "clock": self._clock_samples,
+            }
+
+    def restore(self, snap: dict) -> None:
+        """Restore a snapshot() into this (identically configured) device."""
+        with self.lock:
+            for k, v in snap["table"].items():
+                getattr(self.table, k)[...] = v
+            self._state = jax.tree.map(jnp.asarray, snap["state"])
+            self._ev_dev = {k: jnp.asarray(v) for k, v in snap["ev"].items()}
+            self._carry = (None if snap["carry"] is None
+                           else snap["carry"].copy())
+            self._clock_samples = snap["clock"]
+            self._cfg_dev = None
+
+    def handle_disconnect(self, msg: str = "") -> None:
+        """Backend/device loss (doDisconnect, alc/alu.cpp:2499-2533).
+
+        Marks the device disconnected, posts a disconnect event to every
+        context, and stops all playing voices unless a context holds them
+        (AL_SOFTX_hold_on_disconnect, core/context.h:94)."""
+        with self.lock:
+            if not self.connected:
+                return
+            self.connected = False
+            log.err("device disconnected: %s", msg)
+            for ctx in self.contexts:
+                ctx._emit("disconnected", 0, msg)
+                if getattr(ctx, "hold_on_disconnect", False):
+                    continue
+                for v in ctx.voices:
+                    if v.source_id:
+                        src = ctx.sources.get(v.source_id)
+                        if src is not None:
+                            src.voice_ended()
+                        v.source_id = 0
+                    if v.state == PlayState.PLAYING:
+                        v.state = PlayState.STOPPING
+                        self.mark_config_dirty()
 
     def clock_ns(self) -> int:
         """ALC_DEVICE_CLOCK_SOFT: nanoseconds of samples rendered
@@ -1195,25 +1337,37 @@ class RenderDevice:
         self._cfg_dev = None
 
     def _rs_plan(self, T: int) -> tuple | None:
-        """(span, winw) for the Pallas resampler, or None for the jnp path.
+        """Resampler kernel plan: ("unit",), ("gen", span, winw), or None
+        (jnp gather path).
 
         Static per dispatch: keys the jit cache, so plans only bucket-change
-        when the population's max pitch crosses a window-width boundary."""
-        if not (self._pallas_ok and T % 128 == 0
-                and self.capacity % rs_pallas.NV == 0):
+        when the population's pitch profile crosses a boundary.  The unit
+        plan (every active voice at increment exactly 1<<16 — native-rate
+        playback, the dominant real-world case) selects the gather-free
+        contiguous-window kernel (ops/pallas/resample_unit.py)."""
+        if not (self._pallas_ok and T % 128 == 0):
             return None
         t = self.table
+        T_res = T + self._uhj_pad()
+        act = t.active
+        loop_len = t.loop_end - t.loop_start
+        if (self.capacity % rs_unit.NV == 0
+                and bool(np.all(t.increment[act] == (1 << MIXER_FRAC_BITS_)))
+                and bool(np.all(~(t.has_loop & act)
+                                | (loop_len >= T_res + self._taps)))):
+            return ("unit",)
+        if self.capacity % rs_pallas.NV != 0:
+            return None
         max_inc = int(t.increment.max())
         if max_inc > (10 << MIXER_FRAC_BITS_):
             return None
         winw = rs_pallas.winw_for(max_inc, self._taps)
-        loop_len = t.loop_end - t.loop_start
         if not bool(np.all(~t.has_loop | (loop_len >= winw))):
             return None   # sub-window loops fall back to the jnp gather path
         if self._bank_pad is None:
             self._bank_pad = rs_pallas.pad_bank_taps(tables.weight_bank())
-        T_res = T + (uhj_ops.PAD if self._uhj_active() else 0)
-        return (rs_pallas.span_for_increment(max_inc, T_res, winw), winw)
+        return ("gen", rs_pallas.span_for_increment(max_inc, T_res, winw),
+                winw)
 
     def _apply_distance_comp(self, x: np.ndarray) -> np.ndarray:
         """Per-channel delay + gain (DistanceComp::process, alu.cpp analog).

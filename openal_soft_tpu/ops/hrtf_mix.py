@@ -1,24 +1,36 @@
-"""Batched HRTF mixing in the frequency domain.
+"""Batched HRTF mixing as MXU contractions (FIR-as-matmul).
 
 The reference convolves each voice's (delayed, gain-ramped) samples with a
 128-tap HRIR pair into a shared stereo accumulation buffer, one voice at a
 time (core/mixer/hrtfbase.h MixHrtf/MixHrtfBlend), and folds the B-Format
 dry bus through per-channel baked HRIRs the same way (MixDirectHrtf).  Here
-the entire population goes through one FFT-domain pass.
+the entire population is accumulated with two matrix products.
 
 The per-voice mix is  y[n] = sum_k c[k] * g(n-k) * x[n-k-d]  (gain ramps at
 the output index, input delayed by the integer HRIR delay d).  Substituting
-w[m] = g(m+d) * x[m]  and  c'[k] = c[k-d]  gives  y = c' * w, so:
+w[m] = g(m+d) * x[m]  and  c'[k] = c[k-d]  gives  y = c' * w, and summing
+over voices v:
 
-  * the delay becomes an exact frequency-domain phase shift of the IR,
-  * the gain envelope is evaluated analytically at shifted indices
-    (pure elementwise arithmetic — no gathers, which are compile-time
-    pathological on this backend),
-  * the contraction over voices happens per frequency bin (MXU),
-  * ONE inverse FFT recovers the stereo block plus its 128-sample carry
-    tail — semantically identical to the reference's HrtfAccumData fold
-    (hrtfbase.h:121-132), because the input-consumption window
-    m in [-d, T-d) matches MixHrtfBase's reads exactly.
+    y[e, n] = sum_v sum_k c'[v, k, e] * w[v, e, n-k]
+            = sum_k P[e, k, n-k],   P[e, k, n] = sum_v c'[v, k, e] w[v, e, n]
+
+so the whole population reduces to
+
+  * an elementwise envelope (pure arithmetic, no gathers — the gain ramp
+    evaluated analytically at shifted indices),
+  * ONE [taps, V] x [V, N] contraction per ear on the MXU — this is where
+    all the FLOPs are (the survey's "FIR-as-matmul" layout: 192 x 4096 x
+    1088 x 2 ears ~ 3.4 GFLOP/block at the flagship scene),
+  * a skew-sum over the tap axis (y[n] = sum_k P[k, n-k]), implemented as
+    a pad + reshape that realigns each tap row by its lag — an
+    anti-diagonal reduction with no gathers or shifts.
+
+The input-consumption window m in [HIST-d, HIST-d+T) matches MixHrtfBase's
+reads exactly, and the block fold (out = y[:T] + tail carry) is
+semantically identical to the reference's HrtfAccumData fold
+(hrtfbase.h:121-132).  vs the previous frequency-domain form (2 x
+rfft(2048) per voice per block) this removes every FFT from the HRTF path
+and turns a VPU/bandwidth-bound stage into an MXU one.
 """
 
 from __future__ import annotations
@@ -35,49 +47,48 @@ from ..constants import (
 HIST = HRTF_HISTORY_LENGTH  # 64
 HRIR_EXT = HRIR_LENGTH + HIST  # 192: HRIR shifted by its integer delay
 
-
-def fft_size(T: int) -> int:
-    n = 1
-    while n < HIST + T + HRIR_EXT:
-        n <<= 1
-    return n
+_HI = jax.lax.Precision.HIGHEST
 
 
-def coeff_spectra(coeffs: jax.Array, nfft: int) -> jax.Array:
-    """Delay-shifted HRIR spectra: [L, 192, 2] -> [L, 2, F] complex64.
+def skew_sum(P: jax.Array) -> jax.Array:
+    """Anti-diagonal sum  y[e, n] = sum_d P[e, d, n - d]  without gathers.
 
-    The integer HRIR delay is baked into the time-domain coefficients by
-    the host (a shift, exact), so no per-bin phase factor is needed.
-    Computed once per dispatch (outside the block scan) since coefficients
-    are config."""
-    return jnp.fft.rfft(coeffs.transpose(0, 2, 1), n=nfft, axis=2)
+    Pad each tap row by D zeros, flatten, and re-view with a row stride one
+    shorter: row d of the new view is row d of the old shifted right by d
+    (the overhang lands in the zero padding), so a plain sum over rows
+    yields the convolution output.  P: [E, D, N] -> y: [E, N + D - 1].
+    """
+    E, D, N = P.shape
+    W = N + D - 1
+    flat = jnp.pad(P, ((0, 0), (0, 0), (0, D))).reshape(E, D * (N + D))
+    return flat[:, :D * W].reshape(E, D, W).sum(axis=1)
 
 
-def hrtf_voices_accum_f(x_cat, C_new, delay, gain, C_old, old_delay,
-                        old_gain, fade, active, T: int, fade_len: int,
-                        nfft: int):
-    """Frequency-domain stereo accumulation spectrum for a voice batch.
+def hrtf_voices_accum(x_cat, coeffs, delay, gain, old_coeffs, old_delay,
+                      old_gain, fade, active, T: int, fade_len: int):
+    """Time-domain stereo accumulation for a voice batch (MXU form).
 
     Implements DoHrtfMix (core/voice.cpp:584-658): when fading, the old IR
     ramps out over fade_len samples while the new IR ramps in from zero;
     otherwise the new IR applies at constant gain (old_gain must equal gain,
     which the host guarantees by syncing Old ← Target each block).
 
-    Cost structure: the IR spectra (C_new/C_old, see coeff_spectra) are
-    computed once per dispatch by the caller; the per-block cost is the
-    per-voice input FFTs.  Steady blocks (no voice fading — the common case)
-    run through a ``lax.cond`` branch with 2 input FFTs per voice; fade
-    blocks pay 4 (old + new set, per ear).
+    Steady blocks (no voice fading — the common case) run through a
+    ``lax.cond`` branch with one contraction per ear; fade blocks pay two
+    (old + new IR set).
 
     Args:
       x_cat: [L, HIST+T] f32 history ++ filtered block samples.
-      C_new/C_old: [L, 2, F] delay-shifted HRIR spectra.
+      coeffs/old_coeffs: [L, 192, 2] f32 delay-shifted HRIRs (the integer
+        delay is baked in as a time shift by the host — exact).
       delay/old_delay: [L, 2] int32 (the envelope window still needs them).
       gain/old_gain: [L] f32; fade: [L] int32 (0 or fade_len); active: [L].
-    Returns accum_f [nfft//2+1, 2] complex64.
+    Returns y_ext [2, HIST+T+191] f32 in the accumulation frame.
     """
-    j = jnp.arange(HIST + T, dtype=jnp.float32)
+    N = HIST + T
+    j = jnp.arange(N, dtype=jnp.float32)
     fading = (fade > 0)[:, None, None]
+    act = active[:, None, None]
 
     def shifted_env(d, kind):
         # Envelope evaluated at arg = m + d, m the input stream index.
@@ -93,47 +104,49 @@ def hrtf_voices_accum_f(x_cat, C_new, delay, gain, C_old, old_delay,
                             & (old_gain > GAIN_SILENCE_THRESHOLD)[:, None, None],
                             step * (jnp.float32(fade_len) - arg), 0.0)
         valid = (arg >= 0.0) & (arg < T)
-        return jnp.where(valid, env, 0.0)
+        return jnp.where(valid & act, env, 0.0)
 
-    def one_set(C, env):
-        w = x_cat[:, None, :] * env                          # [L, 2, HIST+T]
-        W = jnp.fft.rfft(w, n=nfft, axis=2)
-        prod = jnp.where(active[:, None, None], W * C, 0.0)
-        return jnp.sum(prod, axis=0).T                       # [F, 2]
+    def one_set(c, env):
+        w = x_cat[:, None, :] * env                          # [L, 2, N]
+        # [2, 192, L] x [2, L, N] -> P [2, 192, N]: the hot MXU contraction.
+        return jnp.einsum("vde,ven->edn", c, w,
+                          preferred_element_type=jnp.float32, precision=_HI)
 
     def fade_branch(_):
-        total = one_set(C_new, shifted_env(delay, "new"))
-        return total + one_set(C_old, shifted_env(old_delay, "old"))
+        return (one_set(coeffs, shifted_env(delay, "new"))
+                + one_set(old_coeffs, shifted_env(old_delay, "old")))
 
     def steady_branch(_):
         # No fades: env is the constant gain inside the per-ear valid
         # window.  The old set contributes nothing (host syncs old <- new).
-        return one_set(C_new, shifted_env(delay, "new"))
+        return one_set(coeffs, shifted_env(delay, "new"))
 
     any_fade = jnp.any(fade > 0)
-    return jax.lax.cond(any_fade, fade_branch, steady_branch, None)
+    P = jax.lax.cond(any_fade, fade_branch, steady_branch, None)
+    return skew_sum(P)
 
 
-def direct_hrtf_accum_f(chans, C_dir, T: int, nfft: int):
-    """Direct B-Format→binaural spectrum (the FIR part of MixDirectHrtf).
+def direct_hrtf_accum(chans, c_dir, T: int) -> jax.Array:
+    """Direct B-Format→binaural (the FIR part of MixDirectHrtf), MXU form.
 
-    chans: [D, T] hf-scaled dry channels; C_dir: [D, 2, F] baked-decode
-    HRIR spectra (precomputed per dispatch via coeff_spectra).
-    Returns accum_f [F, 2] complex64 in the voice accumulation frame.
+    chans: [D, T] hf-scaled dry channels; c_dir: [D, 192, 2] baked-decode
+    HRIRs zero-extended to the voice tap frame.
+    Returns y_ext [2, HIST+T+191] f32 in the voice accumulation frame.
     """
-    w = jnp.pad(chans, ((0, 0), (HIST, 0)))
-    W = jnp.fft.rfft(w, n=nfft, axis=1)                      # [D, F]
-    return jnp.sum(W[:, None, :] * C_dir, axis=0).T          # [F, 2]
+    w = jnp.pad(chans, ((0, 0), (HIST, 0)))                  # [D, N]
+    P = jnp.einsum("vde,vn->edn", c_dir, w,
+                   preferred_element_type=jnp.float32, precision=_HI)
+    return skew_sum(P)
 
 
-def fold_accum(accum_f, tail, T: int, nfft: int):
-    """One inverse FFT + the accumulation-buffer fold (hrtfbase.h:121-132).
+def fold_accum(y_ext, tail, T: int):
+    """The accumulation-buffer fold (hrtfbase.h:121-132).
 
-    tail: [128, 2] carry from the previous block.  Requires T >= 128.
+    y_ext: [2, HIST+T+191] accumulation-frame output; tail: [128, 2] carry
+    from the previous block.  Requires T >= 128.
     Returns (out [2, T], new_tail [128, 2]).
     """
-    y = jnp.fft.irfft(accum_f.T, n=nfft, axis=1)
-    y = y[:, HIST:HIST + T + HRIR_LENGTH]
+    y = y_ext[:, HIST:HIST + T + HRIR_LENGTH]
     out = y[:, :T] + jnp.pad(tail.T, ((0, 0), (0, T - HRIR_LENGTH)))
     new_tail = y[:, T:T + HRIR_LENGTH].T
     return out, new_tail

@@ -1,0 +1,257 @@
+"""Unit-increment Pallas resampler: gather-free contiguous-window FIR.
+
+When a voice's 16.16 increment is exactly 1<<16 (native-rate playback — the
+dominant case in real scenes: the reference plays un-pitched sources
+through the same resampler, core/mixer/mixer_c.cpp), the resample collapses:
+
+    pos[t]   = pos_int + t          (contiguous)
+    frac[t]  = pos_frac             (constant -> constant phase weights)
+    out[t]   = sum_j w_j * src[pos_int + t + j - center]
+
+i.e. a 4..48-tap FIR with per-voice constant weights sliding over a
+contiguous source window.  The general kernel (resample2.py) pays per-row
+window assembly and per-tap lane gathers for arbitrary pitch; none of that
+is needed here:
+
+  * ONE aligned HBM->VMEM DMA per voice image (window + slop; the loop
+    image is DMA'd only when the seam falls inside this block),
+  * one dynamic lane-roll + two-row merge aligns the window to the voice's
+    stream (per voice, not per row),
+  * each tap is a STATIC lane-roll + row-roll select of the aligned window,
+  * loop seams / end clamps / leading silence are iota-vs-scalar masks,
+    reproducing ops/resample.resolve_source_index semantics exactly.
+
+Host eligibility (see RenderDevice._rs_plan): every active voice has
+increment == 1<<16 and, if looping, loop_len >= T + taps so at most one
+seam falls inside the block window.  Weights are precomputed graph-side
+([V, taps], the same `(fil + sf*scd) + pf*(phd + sf*spd)` arithmetic as
+do_bsinc/do_cubic) since the phase is constant per voice; they ride the
+scalar-prefetch channel into SMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...constants import MIXER_FRAC_BITS, RESAMPLE_TAPS
+
+LANE = 128
+NV = 16             # voices per grid program
+_PHASE_SHIFT = MIXER_FRAC_BITS - 5
+_PHASE_SUB_MASK = (1 << _PHASE_SHIFT) - 1
+_PHASE_SUB_SCALE = 1.0 / (1 << _PHASE_SHIFT)
+
+
+def unit_weights_np(bank, bank_row, sf, pos_frac, taps: int):
+    """Constant per-voice tap weights [V, taps] (phase fixed at pos_frac).
+
+    Host numpy, f32 — same `(fil + sf*scd) + pf*(phd + sf*spd)` op order as
+    do_bsinc/do_cubic (mixer_c.cpp:83-105) and the jnp voice_weights path.
+    Valid because pos_frac is invariant at unit increment: it changes only
+    on host position writes, which already rebuild the device config.
+    """
+    import numpy as np
+
+    lo = RESAMPLE_TAPS // 2 - taps // 2
+    pi = pos_frac >> _PHASE_SHIFT
+    pf = ((pos_frac & _PHASE_SUB_MASK).astype(np.float32)
+          * np.float32(_PHASE_SUB_SCALE))
+    sel = lambda k: np.asarray(bank[k])[bank_row, pi, lo:lo + taps]
+    sfc = sf.astype(np.float32)[:, None]
+    w0 = sel("fil") + sfc * sel("scd")
+    wd = sel("phd") + sfc * sel("spd")
+    return (w0 + pf[:, None] * wd).astype(np.float32)
+
+
+def _kernel(meta_sref,                      # [V*8] int32 scalar prefetch
+            w_sref,                         # [V*taps] f32 scalar prefetch
+            pool_ref,                       # HBM [P/128, 128]
+            out_ref,                        # [NV, rows, LANE] VMEM
+            span_ref, sw_ref, sems,
+            *, T: int, taps: int, pool_rows: int, nv: int, fchunks: int):
+    rows = T // LANE
+    center = taps // 2 - 1
+    K = rows + 1                            # window rows incl. tap overhang
+    PADR = K + 1                            # leading span pad rows (see below)
+    v0 = pl.program_id(0) * nv
+
+    def scalars(v):
+        b = (v0 + v) * 8
+        return (meta_sref[b + 0], meta_sref[b + 1], meta_sref[b + 2],
+                meta_sref[b + 3], meta_sref[b + 4] != 0,
+                meta_sref[b + 5] != 0, meta_sref[b + 6])
+
+    def voice_geometry(v):
+        off, ln, ls, le, hl, hw, p0 = scalars(v)
+        ll = jnp.maximum(le - ls, 1)
+        # Positions were rebased into [ls, le) at the previous block end, so
+        # only a single backward wrap (history below ls) can remain
+        # (resolve_source_index semantics).
+        b = p0 - center
+        b = jnp.where(hl & hw & (b < ls), b + ll, b)
+        rb = jnp.where(hl, b, jnp.minimum(b, jnp.maximum(ln - 1, 0)))
+        row1 = jnp.clip((off + jnp.maximum(rb, 0)) >> 7, 0,
+                        pool_rows - fchunks)
+        q1 = off + rb - (row1 << 7)
+        D = jnp.where(hl, le - rb, jnp.int32(1 << 30))     # seam distance
+        row2 = jnp.clip((off + ls) >> 7, 0, pool_rows - fchunks)
+        q2 = off + ls - D - (row2 << 7)
+        need2 = hl & (D < T + taps)
+        return rb, row1, q1, D, row2, q2, need2, ln, hl
+
+    # ---- scalar phase: per-voice span DMAs --------------------------------
+    # Unrolled per-voice loops: Mosaic pipelines the independent voices'
+    # scalar and vector work across iterations (a fori_loop form compiled
+    # ~2x faster but ran ~50% slower).
+    def dmas(v, g):
+        _, row1, _, _, row2, _, need2, _, _ = g
+        d1 = pltpu.make_async_copy(pool_ref.at[pl.ds(row1, fchunks)],
+                                   span_ref.at[v, 0, pl.ds(PADR, fchunks)],
+                                   sems.at[v, 0])
+        d2 = pltpu.make_async_copy(pool_ref.at[pl.ds(row2, fchunks)],
+                                   span_ref.at[v, 1, pl.ds(PADR, fchunks)],
+                                   sems.at[v, 1])
+        return d1, d2, need2
+
+    def start_body(v, carry):
+        d1, d2, need2 = dmas(v, voice_geometry(v))
+        d1.start()
+
+        @pl.when(need2)
+        def _():
+            d2.start()
+        return carry
+
+    for _v in range(nv):
+        start_body(_v, 0)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (K, LANE), 1)
+    m_iota = jax.lax.broadcasted_iota(jnp.int32, (K, LANE), 0) * LANE + lane
+
+    # ---- per-voice: align images + build the fully-resolved masked stream
+    def build_body(v, carry):
+        g = voice_geometry(v)
+        rb, row1, q1, D, row2, q2, need2, ln, hl = g
+        d1, d2, _ = dmas(v, g)
+        d1.wait()
+
+        @pl.when(need2)
+        def _():
+            d2.wait()
+
+        # Aligned stream windows: img(0)[m] = stream sample (rb + m);
+        # img(1)[m] = stream sample (ls + m - D), the post-seam image in
+        # the same frame.  One dynamic lane-roll + a two-row merge per
+        # image replaces all per-row copies of the general kernel.  DMA
+        # data sits at span rows [PADR, PADR+fchunks); the PADR leading
+        # pad rows keep the slice start non-negative even for image 2,
+        # whose c goes down to -(K+1) when the seam sits near the end of
+        # the block window (rows below the seam read pad garbage, and
+        # every such read is masked by (m >= D) below; the clamp guards
+        # the huge negative c of the no-seam case, where image 2 is never
+        # selected).
+        def img(i, q):
+            f = q & (LANE - 1)
+            c = (q - f) >> 7                               # exact; may be <0
+            S = span_ref[v, i, pl.ds(jnp.maximum(PADR + c, 0), K + 1)]
+            # pltpu.roll takes non-negative shifts; a left-rotate by f is
+            # a right-rotate by (LANE - f) mod LANE.
+            rolled = pltpu.roll(S, (LANE - f) & (LANE - 1), 1)
+            return jnp.where(lane < LANE - f, rolled[:K], rolled[1:])
+
+        sw_ref[v, 0] = img(0, q1)
+        sw_ref[v, 1] = img(1, q2)
+        return carry
+
+    for _v in range(nv):
+        build_body(_v, 0)
+
+    # ---- per-voice tap loop over the aligned windows ---------------------
+    # Reads come straight from the sw scratch (Mosaic folds the ref read
+    # into the lane rotate) and every tap's masks are computed
+    # independently — more ILP than masking the stream once up front (the
+    # fused-mask form measured ~60% slower).
+    def taps_body(v, carry):
+        rb, row1, q1, D, row2, q2, need2, ln, hl = voice_geometry(v)
+        sw1 = sw_ref[v, 0]
+        sw2 = sw_ref[v, 1]
+        # Non-loop end clamp duplicates the final frame (voice.cpp:493-505):
+        # extract stream sample (ln-1) by masked reduction (no VMEM scalar
+        # loads), then splat it over the past-end region.
+        lc = jnp.maximum(ln - 1, 0) - rb                    # clamp threshold
+        lci = jnp.clip(lc, 0, T + taps - 1)
+        last = jnp.sum(jnp.where(m_iota == lci, sw1, 0.0))
+        mthresh = -rb                                       # s>=0 <=> m>=-rb
+
+        wbase = (v0 + v) * taps
+        acc = jnp.zeros((rows, LANE), jnp.float32)
+        for j in range(taps):
+            jl = (LANE - j) % LANE           # left-rotate j as right-rotate
+            a1 = pltpu.roll(sw1, jl, 1)
+            val1 = jnp.where(lane < LANE - j, a1, pltpu.roll(a1, K - 1, 0))
+            a2 = pltpu.roll(sw2, jl, 1)
+            val2 = jnp.where(lane < LANE - j, a2, pltpu.roll(a2, K - 1, 0))
+            mj = m_iota + j
+            val = jnp.where(hl & (mj >= D), val2, val1)
+            val = jnp.where(~hl & (mj > lc), last, val)
+            val = jnp.where((mj >= mthresh) & (ln > 0), val, 0.0)
+            acc = acc + w_sref[wbase + j] * val[:rows]
+        out_ref[v] = acc
+        return carry
+
+    for _v in range(nv):
+        taps_body(_v, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("T", "taps", "nv"))
+def _resample_unit(meta, w, pool2d, *, T, taps, nv=NV):
+    V = meta.shape[0] // 8
+    rows = T // LANE
+    K = rows + 1
+    assert V % nv == 0 and T % LANE == 0
+    fchunks = rows + (taps + 127) // 128 + 4    # window + align/clip slop
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(V // nv,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),           # pool (HBM)
+        ],
+        out_specs=pl.BlockSpec((nv, rows, LANE), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((nv, 2, K + 1 + fchunks, LANE), jnp.float32),
+            pltpu.VMEM((nv, 2, K, LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA((nv, 2)),
+        ],
+    )
+    kernel = functools.partial(_kernel, T=T, taps=taps,
+                               pool_rows=pool2d.shape[0], nv=nv,
+                               fchunks=fchunks)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((V, rows, LANE), jnp.float32),
+    )(meta, w.reshape(-1), pool2d)
+    return out.reshape(V, T)
+
+
+def resample_voices_unit(pool2d, src_off, src_len, loop_start, loop_end,
+                         has_loop, has_wrapped, pos_int, weights,
+                         n: int, taps: int, nv: int = NV):
+    """Drop-in for resample_voices when every active increment == 1<<16.
+
+    ``pool2d`` in [P/128, 128] layout; ``weights`` [V, taps] from
+    unit_weights_np.  Requires n % 128 == 0, V % nv == 0, and
+    loop_len >= n + taps for looping voices (host-checked).
+    """
+    z = jnp.zeros_like(src_off)
+    meta = jnp.stack([src_off, src_len, loop_start, loop_end,
+                      has_loop.astype(jnp.int32),
+                      has_wrapped.astype(jnp.int32),
+                      pos_int, z], axis=1).astype(jnp.int32).reshape(-1)
+    return _resample_unit(meta, weights, pool2d, T=n, taps=taps, nv=nv)

@@ -48,7 +48,7 @@ def make_sharded_device_step(dev, mesh: Mesh, T: int):
 
     def step(state, ev, cfg, pool):
         out, new_state, _ = dev._render_one(
-            state, ev, cfg, pool, T, dev._taps, None, {},
+            state, ev, cfg, pool, T, dev._taps, None,
             axis_name=VOICE_AXIS)
         return out, new_state
 
@@ -75,7 +75,6 @@ def device_step_inputs(dev, T: int):
     for ctx in dev.contexts:
         ctx.process_updates()
     if dev._cfg_dev is None:
-        dev._derived_cache = {}
         dev._refresh_uhj_groups()
         cfg = dev._cfg_from_table()
         dev._uhj_cfg(cfg)

@@ -1,0 +1,74 @@
+"""Unit-increment Pallas resampler vs the jnp reference path (TPU only).
+
+Covers the fast-path eligibility cases: non-looping (incl. leading silence
+and end clamp), looping with forward seam inside the block, and the
+backward has_wrapped history wrap.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+if jax.default_backend() not in ("tpu", "axon"):
+    pytest.skip("Pallas TPU kernel requires TPU hardware", allow_module_level=True)
+
+import jax.numpy as jnp
+
+from openal_soft_tpu.ops import resample as rs_ops, tables
+from openal_soft_tpu.ops.pallas import resample_unit as ru
+
+
+def _run(L, T, taps, seed=0, loop=None, pos_lo=-40, pos_hi=30000,
+         src_len=31000):
+    rng = np.random.default_rng(seed)
+    bank = tables.weight_bank()
+    pool = jnp.asarray(rng.standard_normal(1 << 18).astype(np.float32))
+    has_loop = (np.full(L, loop, bool) if loop is not None
+                else rng.integers(0, 2, L).astype(bool))
+    args = dict(
+        src_off=jnp.asarray(rng.integers(64, 1 << 17, L).astype(np.int32)),
+        src_len=jnp.asarray(np.full(L, src_len, np.int32)),
+        loop_start=jnp.asarray(np.full(L, 100, np.int32)),
+        loop_end=jnp.asarray(np.full(L, 30000, np.int32)),
+        has_loop=jnp.asarray(has_loop),
+        pos_int=jnp.asarray(rng.integers(pos_lo, pos_hi, L).astype(np.int32)),
+    )
+    pos_frac = rng.integers(0, 65536, L).astype(np.int32)
+    bank_row = rng.choice([0, 1, 2, 3], L).astype(np.int32)
+    sf = np.zeros(L, np.float32)
+    args["has_wrapped"] = args["has_loop"]
+
+    w = ru.unit_weights_np(bank, bank_row, sf, pos_frac, taps)
+    y_unit = ru.resample_voices_unit(
+        pool.reshape(-1, 128), **args, weights=jnp.asarray(w), n=T, taps=taps)
+
+    bank_j = {k: jnp.asarray(v) for k, v in bank.items()}
+    y_jnp = rs_ops.resample_voices(
+        pool, **args, pos_frac=jnp.asarray(pos_frac),
+        increment=jnp.asarray(np.full(L, 1 << 16, np.int32)),
+        bank_row=jnp.asarray(bank_row), sf=jnp.asarray(sf),
+        bank=bank_j, n=T, taps=taps)
+    np.testing.assert_array_equal(np.asarray(y_unit), np.asarray(y_jnp))
+
+
+def test_mixed_loop_nonloop():
+    _run(64, 1024, 4, seed=0)
+
+
+def test_seam_and_end_clamp():
+    # Positions near loop_end force the forward seam; src_len just past
+    # loop_end exercises the non-loop end clamp for the non-looping rows.
+    _run(32, 1024, 4, seed=1, pos_lo=28800, pos_hi=29990, src_len=30100)
+
+
+def test_leading_silence():
+    _run(32, 1024, 4, seed=2, loop=False, pos_lo=-1050, pos_hi=5)
+
+
+def test_bsinc_taps():
+    _run(32, 1024, 24, seed=3)
+
+
+def test_uhj_padded_rows():
+    _run(32, 1152, 4, seed=4)
