@@ -83,11 +83,13 @@ class Buffer:
         self.loop_end = self.sample_len
         self.data = np.ascontiguousarray(planar, np.float32)
 
-        pool = self.context.device.pool
-        if self.pool_offset >= 0:
-            pool.free(self.pool_offset, self._pool_size)
-        self.pool_offset = pool.alloc(self.data)
-        self._pool_size = self.data.size
+        dev = self.context.device
+        with dev.lock:   # pool writes race the render thread's upload
+            pool = dev.pool
+            if self.pool_offset >= 0:
+                pool.free(self.pool_offset, self._pool_size)
+            self.pool_offset = pool.alloc(self.data)
+            self._pool_size = self.data.size
 
     # AL_SOFT_callback_buffer: a fixed pool segment streams from a pull
     # callback instead of holding static data.  ~16k frames covers a full

@@ -1,0 +1,159 @@
+"""ALSA playback backend (host audio out).
+
+The real-audio analog of the reference's alc/backends/alsa.cpp: libasound
+is dlopened at runtime (the reference does the same, alsa.cpp:1-60 dlopen
+machinery), a PCM device is opened and configured to the render device's
+format, and a mixer thread paces `render_samples` into snd_pcm_writei —
+the control-flow inversion of SURVEY.md §1: the backend owns the thread
+and calls *up* into the renderer.
+
+Without a physical sound card (or libasound at all) the factory reports
+unavailable, exactly like a reference backend whose library is missing.
+``OPENAL_TPU_ALSA_LIB`` overrides the library path — used by the test
+suite to drive the full open/reset/start/write loop against a fake
+libasound that captures the PCM stream.
+"""
+
+from __future__ import annotations
+
+import ctypes as ct
+import os
+import threading
+
+import numpy as np
+
+from ..core import logging as log
+from ..core.devformat import DevFmtType
+
+# snd_pcm_format_t values (asoundlib.h)
+_SND_PCM_FORMAT = {
+    DevFmtType.BYTE: 0,       # S8
+    DevFmtType.UBYTE: 1,      # U8
+    DevFmtType.SHORT: 2,      # S16_LE
+    DevFmtType.INT: 10,       # S32_LE
+    DevFmtType.FLOAT: 14,     # FLOAT_LE
+}
+_SND_PCM_STREAM_PLAYBACK = 0
+_SND_PCM_ACCESS_RW_INTERLEAVED = 3
+
+_lib_cache: tuple[str, object] | None = None
+
+
+def _load_lib():
+    """dlopen libasound (or the test override), caching the handle."""
+    global _lib_cache
+    name = os.environ.get("OPENAL_TPU_ALSA_LIB", "libasound.so.2")
+    if _lib_cache is not None and _lib_cache[0] == name:
+        return _lib_cache[1]
+    try:
+        lib = ct.CDLL(name)
+    except OSError:
+        _lib_cache = (name, None)
+        return None
+    try:
+        lib.snd_pcm_open.restype = ct.c_int
+        lib.snd_pcm_open.argtypes = [ct.POINTER(ct.c_void_p), ct.c_char_p,
+                                     ct.c_int, ct.c_int]
+        lib.snd_pcm_set_params.restype = ct.c_int
+        lib.snd_pcm_set_params.argtypes = [ct.c_void_p, ct.c_int, ct.c_int,
+                                           ct.c_uint, ct.c_uint, ct.c_int,
+                                           ct.c_uint]
+        lib.snd_pcm_writei.restype = ct.c_long
+        lib.snd_pcm_writei.argtypes = [ct.c_void_p, ct.c_void_p, ct.c_ulong]
+        lib.snd_pcm_recover.restype = ct.c_int
+        lib.snd_pcm_recover.argtypes = [ct.c_void_p, ct.c_int, ct.c_int]
+        lib.snd_pcm_drain.restype = ct.c_int
+        lib.snd_pcm_drain.argtypes = [ct.c_void_p]
+        lib.snd_pcm_close.restype = ct.c_int
+        lib.snd_pcm_close.argtypes = [ct.c_void_p]
+    except AttributeError:
+        _lib_cache = (name, None)
+        return None
+    _lib_cache = (name, lib)
+    return lib
+
+
+def available() -> bool:
+    return _load_lib() is not None
+
+
+class AlsaBackend:
+    """Interleaved-write ALSA playback loop (alsa.cpp mixerProc analog)."""
+
+    def __init__(self, device, pcm_name: str = "default") -> None:
+        self.device = device
+        self._lib = _load_lib()
+        if self._lib is None:
+            raise RuntimeError("libasound unavailable")
+        self._pcm = ct.c_void_p()
+        self._thread: threading.Thread | None = None
+        self._running = False
+        self.frames_written = 0
+        rc = self._lib.snd_pcm_open(ct.byref(self._pcm),
+                                    pcm_name.encode(),
+                                    _SND_PCM_STREAM_PLAYBACK, 0)
+        if rc < 0:
+            raise RuntimeError(f"snd_pcm_open failed ({rc})")
+        self._configure()
+
+    def _configure(self) -> None:
+        """Negotiate the device format (the reference's full hw/sw-params
+        dance collapsed to snd_pcm_set_params: same rate/format/channels
+        contract, ~43 ms of buffering = 2x the default period)."""
+        dev = self.device
+        fmt = _SND_PCM_FORMAT[dev.fmt_type]
+        buffer_us = 2 * 1024 * 1_000_000 // dev.sample_rate
+        rc = self._lib.snd_pcm_set_params(
+            self._pcm, fmt, _SND_PCM_ACCESS_RW_INTERLEAVED,
+            dev.n_real, dev.sample_rate, 1, buffer_us)
+        if rc < 0:
+            self._lib.snd_pcm_close(self._pcm)
+            raise RuntimeError(f"snd_pcm_set_params failed ({rc})")
+
+    def start(self, period_frames: int = 1024) -> None:
+        if self._running:
+            return
+        self._running = True
+
+        def run() -> None:
+            while self._running:
+                data = self.device.render_samples(period_frames)
+                buf = np.ascontiguousarray(data)
+                ptr = buf.ctypes.data_as(ct.c_void_p)
+                done = 0
+                while done < period_frames and self._running:
+                    n = self._lib.snd_pcm_writei(
+                        self._pcm,
+                        ct.c_void_p(ptr.value
+                                    + done * buf.strides[0]),
+                        period_frames - done)
+                    if n < 0:
+                        # Underrun/suspend: recover like the reference's
+                        # verify-state path (alsa.cpp mixerProc).
+                        rc = self._lib.snd_pcm_recover(self._pcm, int(n), 1)
+                        if rc < 0:
+                            log.err("ALSA write failed (%d); stopping", n)
+                            self._running = False
+                            self.device.handle_disconnect(
+                                f"ALSA write error {n}")
+                            return
+                        continue
+                    done += int(n)
+                self.frames_written += done
+
+        self._thread = threading.Thread(target=run, daemon=True,
+                                        name="alsa-mixer")
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._running = False
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        self._lib.snd_pcm_drain(self._pcm)
+
+    def close(self) -> None:
+        self.stop()
+        if self._pcm:
+            self._lib.snd_pcm_close(self._pcm)
+            self._pcm = ct.c_void_p()

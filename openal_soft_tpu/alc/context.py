@@ -61,6 +61,9 @@ class Context:
         self.filters: dict[int, object] = {}
         self.aux_slots: dict[int, object] = {}
         self.deferred = False
+        # AL_SOFTX_hold_on_disconnect (core/context.h:94): keep voices
+        # playing through a device disconnect instead of stopping them.
+        self.hold_on_disconnect = False
         self._next_id = 1
         # AL error model (al/error.cpp:59-98): first error sticks until
         # alGetError pops it.

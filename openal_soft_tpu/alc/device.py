@@ -47,5 +47,7 @@ class LoopbackDevice(RenderDevice):
                          capacity=capacity, num_aux_sends=num_aux_sends,
                          render_mode=mode, ambi_order=ambi_order)
 
-    def create_context(self) -> Context:
+    def create_context(self, attrs=None) -> Context:
+        # Loopback format attributes are fixed at open time here; the
+        # reference's ALC_FORMAT_* attrs map to the constructor arguments.
         return Context(self)
