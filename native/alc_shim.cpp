@@ -307,4 +307,271 @@ ALboolean alIsExtensionPresent(const ALCchar *extname)
     return v;
 }
 
+/* ---- source property matrix (al/source.cpp:1510/2086) ---- */
+
+void alSourcefv(ALuint source, ALenum param, const ALfloat *values)
+{
+    Gil gil;
+    int n = (param == 0x1004 || param == 0x1005 || param == 0x1006) ? 3 : 1;
+    PyObject *lst = PyList_New(n);
+    for(int i = 0; i < n; ++i)
+        PyList_SET_ITEM(lst, i, PyFloat_FromDouble(values[i]));
+    call_void("alSourcefv", Py_BuildValue("(IiN)", source, param, lst));
+}
+
+void alGetSourcef(ALuint source, ALenum param, ALfloat *value)
+{
+    Gil gil;
+    PyObject *r = call("alGetSourcef", Py_BuildValue("(Ii)", source, param));
+    *value = (r && PyFloat_Check(r)) ? (float)PyFloat_AsDouble(r) : 0.0f;
+    Py_XDECREF(r);
+}
+
+void alGetSource3f(ALuint source, ALenum param, ALfloat *v1, ALfloat *v2,
+                   ALfloat *v3)
+{
+    Gil gil;
+    PyObject *r = call("alGetSource3f", Py_BuildValue("(Ii)", source, param));
+    *v1 = *v2 = *v3 = 0.0f;
+    if(r && PyTuple_Check(r) && PyTuple_GET_SIZE(r) == 3) {
+        *v1 = (float)PyFloat_AsDouble(PyTuple_GET_ITEM(r, 0));
+        *v2 = (float)PyFloat_AsDouble(PyTuple_GET_ITEM(r, 1));
+        *v3 = (float)PyFloat_AsDouble(PyTuple_GET_ITEM(r, 2));
+    }
+    Py_XDECREF(r);
+}
+
+void alGetSourcefv(ALuint source, ALenum param, ALfloat *values)
+{
+    if(param == 0x1004 || param == 0x1005 || param == 0x1006) {
+        alGetSource3f(source, param, values, values + 1, values + 2);
+        return;
+    }
+    alGetSourcef(source, param, values);
+}
+
+void alSourcePlayv(ALsizei n, const ALuint *sources)
+{ for(ALsizei i = 0; i < n; ++i) alSourcePlay(sources[i]); }
+
+void alSourceStopv(ALsizei n, const ALuint *sources)
+{ for(ALsizei i = 0; i < n; ++i) alSourceStop(sources[i]); }
+
+void alSourcePausev(ALsizei n, const ALuint *sources)
+{ for(ALsizei i = 0; i < n; ++i) alSourcePause(sources[i]); }
+
+void alSourceRewindv(ALsizei n, const ALuint *sources)
+{ for(ALsizei i = 0; i < n; ++i) alSourceRewind(sources[i]); }
+
+/* ---- buffer queueing (al/source.cpp alSourceQueueBuffers) ---- */
+
+void alSourceQueueBuffers(ALuint source, ALsizei nb, const ALuint *buffers)
+{
+    Gil gil;
+    PyObject *lst = PyList_New(nb);
+    for(ALsizei i = 0; i < nb; ++i)
+        PyList_SET_ITEM(lst, i, PyLong_FromUnsignedLong(buffers[i]));
+    call_void("alSourceQueueBuffers", Py_BuildValue("(IN)", source, lst));
+}
+
+void alSourceUnqueueBuffers(ALuint source, ALsizei nb, ALuint *buffers)
+{
+    Gil gil;
+    PyObject *r = call("alSourceUnqueueBuffers",
+                       Py_BuildValue("(Ii)", source, (int)nb));
+    if(r && PyList_Check(r)) {
+        Py_ssize_t got = PyList_GET_SIZE(r);
+        for(Py_ssize_t i = 0; i < got && i < nb; ++i)
+            buffers[i] = (ALuint)PyLong_AsUnsignedLong(PyList_GET_ITEM(r, i));
+    } else if(r && PyLong_Check(r) && nb >= 1) {
+        buffers[0] = (ALuint)PyLong_AsUnsignedLong(r);
+    }
+    Py_XDECREF(r);
+}
+
+void alDeleteSources(ALsizei n, const ALuint *sources)
+{
+    Gil gil;
+    PyObject *lst = PyList_New(n);
+    for(ALsizei i = 0; i < n; ++i)
+        PyList_SET_ITEM(lst, i, PyLong_FromUnsignedLong(sources[i]));
+    call_void("alDeleteSources", Py_BuildValue("(N)", lst));
+}
+
+void alDeleteBuffers(ALsizei n, const ALuint *buffers)
+{
+    Gil gil;
+    PyObject *lst = PyList_New(n);
+    for(ALsizei i = 0; i < n; ++i)
+        PyList_SET_ITEM(lst, i, PyLong_FromUnsignedLong(buffers[i]));
+    call_void("alDeleteBuffers", Py_BuildValue("(N)", lst));
+}
+
+void alGetBufferi(ALuint buffer, ALenum param, ALint *value)
+{
+    Gil gil;
+    *value = (ALint)call_long("alGetBufferi",
+                              Py_BuildValue("(Ii)", buffer, param));
+}
+
+void alBufferiv(ALuint buffer, ALenum param, const ALint *values)
+{
+    Gil gil;
+    int n = (param == 0x2015) ? 2 : 1;   /* AL_LOOP_POINTS_SOFT */
+    PyObject *lst = PyList_New(n);
+    for(int i = 0; i < n; ++i)
+        PyList_SET_ITEM(lst, i, PyLong_FromLong(values[i]));
+    call_void("alBufferiv", Py_BuildValue("(IiN)", buffer, param, lst));
+}
+
+/* ---- EFX objects (alGenEffects, alEffect*, alGenFilters; efx.h) ---- */
+
+void alGenEffects(ALsizei n, ALuint *effects)
+{
+    Gil gil;
+    for(ALsizei i = 0; i < n; ++i)
+        effects[i] = (ALuint)call_long("alGenEffects", Py_BuildValue("(i)", 1));
+}
+
+void alDeleteEffects(ALsizei n, const ALuint *effects)
+{
+    Gil gil;
+    PyObject *lst = PyList_New(n);
+    for(ALsizei i = 0; i < n; ++i)
+        PyList_SET_ITEM(lst, i, PyLong_FromUnsignedLong(effects[i]));
+    call_void("alDeleteEffects", Py_BuildValue("(N)", lst));
+}
+
+void alEffecti(ALuint effect, ALenum param, ALint value)
+{ Gil gil; call_void("alEffecti", Py_BuildValue("(Iii)", effect, param, value)); }
+
+void alEffectf(ALuint effect, ALenum param, ALfloat value)
+{ Gil gil; call_void("alEffectf", Py_BuildValue("(Iif)", effect, param, value)); }
+
+void alEffectfv(ALuint effect, ALenum param, const ALfloat *values)
+{
+    Gil gil;
+    int n = (param == 0x000B || param == 0x000E) ? 3 : 1;  /* reverb pans */
+    PyObject *lst = PyList_New(n);
+    for(int i = 0; i < n; ++i)
+        PyList_SET_ITEM(lst, i, PyFloat_FromDouble(values[i]));
+    call_void("alEffectfv", Py_BuildValue("(IiN)", effect, param, lst));
+}
+
+void alGetEffecti(ALuint effect, ALenum param, ALint *value)
+{
+    Gil gil;
+    *value = (ALint)call_long("alGetEffecti",
+                              Py_BuildValue("(Ii)", effect, param));
+}
+
+void alGenFilters(ALsizei n, ALuint *filters)
+{
+    Gil gil;
+    for(ALsizei i = 0; i < n; ++i)
+        filters[i] = (ALuint)call_long("alGenFilters", Py_BuildValue("(i)", 1));
+}
+
+void alDeleteFilters(ALsizei n, const ALuint *filters)
+{
+    Gil gil;
+    PyObject *lst = PyList_New(n);
+    for(ALsizei i = 0; i < n; ++i)
+        PyList_SET_ITEM(lst, i, PyLong_FromUnsignedLong(filters[i]));
+    call_void("alDeleteFilters", Py_BuildValue("(N)", lst));
+}
+
+void alFilteri(ALuint filter, ALenum param, ALint value)
+{ Gil gil; call_void("alFilteri", Py_BuildValue("(Iii)", filter, param, value)); }
+
+void alFilterf(ALuint filter, ALenum param, ALfloat value)
+{ Gil gil; call_void("alFilterf", Py_BuildValue("(Iif)", filter, param, value)); }
+
+void alGenAuxiliaryEffectSlots(ALsizei n, ALuint *slots)
+{
+    Gil gil;
+    for(ALsizei i = 0; i < n; ++i)
+        slots[i] = (ALuint)call_long("alGenAuxiliaryEffectSlots",
+                                     Py_BuildValue("(i)", 1));
+}
+
+void alDeleteAuxiliaryEffectSlots(ALsizei n, const ALuint *slots)
+{
+    Gil gil;
+    PyObject *lst = PyList_New(n);
+    for(ALsizei i = 0; i < n; ++i)
+        PyList_SET_ITEM(lst, i, PyLong_FromUnsignedLong(slots[i]));
+    call_void("alDeleteAuxiliaryEffectSlots", Py_BuildValue("(N)", lst));
+}
+
+void alAuxiliaryEffectSloti(ALuint slot, ALenum param, ALint value)
+{ Gil gil; call_void("alAuxiliaryEffectSloti", Py_BuildValue("(Iii)", slot, param, value)); }
+
+void alAuxiliaryEffectSlotf(ALuint slot, ALenum param, ALfloat value)
+{ Gil gil; call_void("alAuxiliaryEffectSlotf", Py_BuildValue("(Iif)", slot, param, value)); }
+
+/* ---- ALC device lifecycle (alc/alc.cpp:2995/3522/1922/3658) ---- */
+
+ALCdevice *alcOpenDevice(const ALCchar *devname)
+{
+    std::call_once(g_init_once, init_python);
+    Gil gil;
+    PyObject *args = devname ? Py_BuildValue("(s)", devname) : PyTuple_New(0);
+    return static_cast<ALCdevice*>(call("alcOpenDevice", args));
+}
+
+void alcDevicePauseSOFT(ALCdevice *device)
+{
+    Gil gil;
+    call_void("alcDevicePauseSOFT",
+              Py_BuildValue("(O)", static_cast<PyObject*>(device)));
+}
+
+void alcDeviceResumeSOFT(ALCdevice *device)
+{
+    Gil gil;
+    call_void("alcDeviceResumeSOFT",
+              Py_BuildValue("(O)", static_cast<PyObject*>(device)));
+}
+
+ALCboolean alcResetDeviceSOFT(ALCdevice *device, const ALCint * /*attribs*/)
+{
+    Gil gil;
+    call_void("alcResetDeviceSOFT",
+              Py_BuildValue("(O)", static_cast<PyObject*>(device)));
+    return 1;
+}
+
+ALCboolean alcReopenDeviceSOFT(ALCdevice *device, const ALCchar *devname,
+                               const ALCint * /*attribs*/)
+{
+    Gil gil;
+    PyObject *args = Py_BuildValue("(Os)", static_cast<PyObject*>(device),
+                                   devname ? devname : "");
+    call_void("alcReopenDeviceSOFT", args);
+    return 1;
+}
+
+void alcGetIntegerv(ALCdevice *device, ALCenum param, ALCsizei size,
+                    ALCint *values)
+{
+    Gil gil;
+    PyObject *args = Py_BuildValue("(Oi)",
+        device ? static_cast<PyObject*>(device) : Py_None, param);
+    PyObject *r = call("alcGetIntegerv", args);
+    if(!r) return;
+    if(PyLong_Check(r) && size >= 1)
+        values[0] = (ALCint)PyLong_AsLong(r);
+    else if(PyList_Check(r)) {
+        Py_ssize_t got = PyList_GET_SIZE(r);
+        for(Py_ssize_t i = 0; i < got && i < size; ++i)
+            values[i] = (ALCint)PyLong_AsLong(PyList_GET_ITEM(r, i));
+    }
+    Py_XDECREF(r);
+}
+
+ALCenum alcGetError(ALCdevice * /*device*/)
+{
+    return 0;   /* ALC errors surface as AL errors in this build */
+}
+
 } /* extern "C" */

@@ -60,13 +60,49 @@ AL_EXPONENT_DISTANCE_CLAMPED = 0xD006
 AL_DIRECT_FILTER = 0x20005
 AL_AUXILIARY_SEND_FILTER = 0x20006
 
+# The full user-format zoo (al/buffer.cpp:200-280 DecomposeUserFormat;
+# enum values from the public AL/al.h + AL/alext.h headers).
 _FORMATS = {
-    AL_FORMAT_MONO8: ("mono", "uint8"),
-    AL_FORMAT_MONO16: ("mono", "int16"),
-    AL_FORMAT_STEREO8: ("stereo", "uint8"),
-    AL_FORMAT_STEREO16: ("stereo", "int16"),
-    AL_FORMAT_MONO_FLOAT32: ("mono", "float32"),
-    AL_FORMAT_STEREO_FLOAT32: ("stereo", "float32"),
+    # core + float/double/law extensions
+    0x1100: ("mono", "uint8"), 0x1101: ("mono", "int16"),
+    0x1102: ("stereo", "uint8"), 0x1103: ("stereo", "int16"),
+    0x10010: ("mono", "float32"), 0x10011: ("stereo", "float32"),
+    0x10012: ("mono", "float64"), 0x10013: ("stereo", "float64"),
+    0x10014: ("mono", "mulaw"), 0x10015: ("stereo", "mulaw"),
+    0x10016: ("mono", "alaw"), 0x10017: ("stereo", "alaw"),
+    # ADPCM (AL_EXT_IMA4 / AL_SOFT_MSADPCM)
+    0x1300: ("mono", "ima4"), 0x1301: ("stereo", "ima4"),
+    0x1302: ("mono", "msadpcm"), 0x1303: ("stereo", "msadpcm"),
+    # multichannel (AL_EXT_MCFORMATS)
+    0x1204: ("quad", "uint8"), 0x1205: ("quad", "int16"),
+    0x1206: ("quad", "float32"),
+    0x1207: ("rear", "uint8"), 0x1208: ("rear", "int16"),
+    0x1209: ("rear", "float32"),
+    0x120A: ("x51", "uint8"), 0x120B: ("x51", "int16"),
+    0x120C: ("x51", "float32"),
+    0x120D: ("x61", "uint8"), 0x120E: ("x61", "int16"),
+    0x120F: ("x61", "float32"),
+    0x1210: ("x71", "uint8"), 0x1211: ("x71", "int16"),
+    0x1212: ("x71", "float32"),
+    0x10021: ("quad", "mulaw"), 0x10022: ("rear", "mulaw"),
+    0x10023: ("x51", "mulaw"), 0x10024: ("x61", "mulaw"),
+    0x10025: ("x71", "mulaw"),
+    # B-Format (AL_EXT_BFORMAT)
+    0x20021: ("bformat2d", "uint8"), 0x20022: ("bformat2d", "int16"),
+    0x20023: ("bformat2d", "float32"), 0x10031: ("bformat2d", "mulaw"),
+    0x20031: ("bformat3d", "uint8"), 0x20032: ("bformat3d", "int16"),
+    0x20033: ("bformat3d", "float32"), 0x10032: ("bformat3d", "mulaw"),
+    # UHJ (AL_SOFT_UHJ / AL_SOFT_UHJ_ex)
+    0x19A2: ("uhj2", "uint8"), 0x19A3: ("uhj2", "int16"),
+    0x19A4: ("uhj2", "float32"),
+    0x19A5: ("uhj3", "uint8"), 0x19A6: ("uhj3", "int16"),
+    0x19A7: ("uhj3", "float32"),
+    0x19A8: ("uhj4", "uint8"), 0x19A9: ("uhj4", "int16"),
+    0x19AA: ("uhj4", "float32"),
+    0x19B3: ("uhj2", "mulaw"), 0x19B4: ("uhj2", "alaw"),
+    0x19B5: ("uhj2", "ima4"), 0x19B6: ("uhj2", "msadpcm"),
+    0x19B7: ("uhj3", "mulaw"), 0x19B8: ("uhj3", "alaw"),
+    0x19B9: ("uhj4", "mulaw"), 0x19BA: ("uhj4", "alaw"),
 }
 
 _DIST_MODELS = {
@@ -97,8 +133,41 @@ def alcLoopbackOpenDeviceSOFT(frequency: int = 48000, channels: str = "stereo",
                           sample_type=sample_type, **kw)
 
 
-def alcCreateContext(device: LoopbackDevice, attrs=None):
-    return device.create_context()
+def alcOpenDevice(name: str | None = None, **kw):
+    """alcOpenDevice (alc/alc.cpp:2995): route to a playback backend."""
+    from ..alc import lifecycle
+    return lifecycle.open_device(name, **kw)
+
+
+def alcCloseDevice(device) -> bool:
+    if hasattr(device, "close"):
+        device.close()
+    return True
+
+
+def alcDevicePauseSOFT(device) -> None:
+    """ALC_SOFT_pause_device (alc/alc.cpp:3522)."""
+    device.pause()
+
+
+def alcDeviceResumeSOFT(device) -> None:
+    device.resume()
+
+
+def alcResetDeviceSOFT(device, attrs=None) -> bool:
+    """ALC_SOFT_HRTF reset (alc/alc.cpp:1922 ResetDeviceParams)."""
+    device.reset(attrs)
+    return True
+
+
+def alcReopenDeviceSOFT(device, name: str | None = None, attrs=None) -> bool:
+    """ALC_SOFT_reopen_device (alc/alc.cpp:3658)."""
+    device.reopen(name, attrs)
+    return True
+
+
+def alcCreateContext(device, attrs=None):
+    return device.create_context(attrs)
 
 
 def alcMakeContextCurrent(context) -> None:
@@ -163,8 +232,10 @@ def alBufferCallbackSOFT(bid: int, fmt: int, freq: int, callback) -> None:
 def alBufferDataRaw(bid: int, fmt: int, data: bytes, freq: int) -> None:
     """C-ABI variant: raw little-endian sample bytes (native/alc_shim.cpp)."""
     channels, styp = _FORMATS[fmt]
-    dtype = {"uint8": np.uint8, "int16": np.int16,
-             "float32": np.float32}[styp]
+    dtype = {"uint8": np.uint8, "int8": np.int8, "int16": np.int16,
+             "int32": np.int32, "float32": np.float32,
+             "float64": np.float64, "mulaw": np.uint8, "alaw": np.uint8,
+             "ima4": np.uint8, "msadpcm": np.uint8}[styp]
     _ctx().buffers[bid].set_data(np.frombuffer(data, dtype), channels,
                                  styp, freq)
 
@@ -424,6 +495,7 @@ ALC_EXTENSIONS = 0x1006
 # reference's list at alc/context.cpp:65-109: entries whose feature exists
 # here; grown as the surface grows).
 _AL_EXTENSION_LIST = (
+    "AL_EXT_debug "
     "AL_EXT_ALAW AL_EXT_BFORMAT AL_EXT_DOUBLE AL_EXT_EXPONENT_DISTANCE "
     "AL_EXT_FLOAT32 AL_EXT_IMA4 AL_EXT_LINEAR_DISTANCE AL_EXT_MCFORMATS "
     "AL_EXT_MULAW AL_EXT_MULAW_BFORMAT AL_EXT_OFFSET "
@@ -439,7 +511,8 @@ _ALC_EXTENSION_LIST = (
     "ALC_ENUMERATE_ALL_EXT ALC_ENUMERATION_EXT ALC_EXT_CAPTURE "
     "ALC_EXT_DEDICATED ALC_EXT_EFX ALC_EXT_thread_local_context "
     "ALC_SOFT_HRTF ALC_SOFT_loopback ALC_SOFT_loopback_bformat "
-    "ALC_SOFT_output_limiter ALC_SOFT_pause_device"
+    "ALC_SOFT_output_limiter ALC_SOFT_pause_device "
+    "ALC_SOFT_reopen_device ALC_SOFT_system_events"
 )
 
 
@@ -490,6 +563,393 @@ def alEventControlSOFT(event_types, enable: bool) -> None:
 def alEventCallbackSOFT(callback) -> None:
     """callback(kind: str, object_id: int, param) on the event thread."""
     _ctx().set_event_callback(callback)
+
+
+# --- AL_EXT_debug (al/debug.cpp) ----------------------------------------------
+
+def _debug():
+    from . import debug as _dbg
+    return _dbg.get_debug(_ctx())
+
+
+def alDebugMessageCallbackEXT(callback, user_param=None) -> None:
+    st = _debug()
+    with st.lock:
+        st.callback = callback
+        st.user_param = user_param
+
+
+def alDebugMessageInsertEXT(source: int, mtype: int, mid: int, severity: int,
+                            message: str) -> None:
+    from . import debug as _dbg
+    if source not in (_dbg.AL_DEBUG_SOURCE_APPLICATION_EXT,
+                      _dbg.AL_DEBUG_SOURCE_THIRD_PARTY_EXT):
+        _ctx().set_error(0xA003, "invalid debug source")  # AL_INVALID_ENUM
+        return
+    _debug().message(source, mtype, mid, severity, message)
+
+
+def alDebugMessageControlEXT(source: int, mtype: int, severity: int,
+                             ids, enable: bool) -> None:
+    try:
+        _debug().control(source, mtype, severity, list(ids or ()),
+                         bool(enable))
+    except ValueError:
+        _ctx().set_error(0xA002, "invalid debug filter")  # AL_INVALID_VALUE
+
+
+def alPushDebugGroupEXT(source: int, gid: int, message: str) -> None:
+    from . import debug as _dbg
+    try:
+        _debug().push_group(source, gid, message)
+    except OverflowError:
+        _ctx().set_error(_dbg.AL_STACK_OVERFLOW_EXT, "debug group overflow")
+
+
+def alPopDebugGroupEXT() -> None:
+    from . import debug as _dbg
+    try:
+        _debug().pop_group()
+    except IndexError:
+        _ctx().set_error(_dbg.AL_STACK_UNDERFLOW_EXT, "debug group underflow")
+
+
+def alGetDebugMessageLogEXT(count: int):
+    """Returns a list of (source, type, id, severity, message) tuples."""
+    return _debug().get_log(count)
+
+
+def alObjectLabelEXT(kind: str, oid: int, label: str | None) -> None:
+    _debug().set_label(kind, oid, label)
+
+
+def alGetObjectLabelEXT(kind: str, oid: int) -> str:
+    return _debug().get_label(kind, oid)
+
+
+# --- enum-addressed EFX object surface (the C ABI's view of al/effect.cpp,
+# al/filter.cpp, al/auxeffectslot.cpp; enums from AL/efx.h) --------------------
+
+AL_EFFECT_TYPE = 0x8001
+AL_FILTER_TYPE = 0x8001
+AL_EFFECTSLOT_EFFECT = 0x0001
+AL_EFFECTSLOT_GAIN = 0x0002
+AL_EFFECTSLOT_AUXILIARY_SEND_AUTO = 0x0003
+
+_EFFECT_TYPE_ENUMS = {
+    0x0000: "null", 0x0001: "reverb", 0x0002: "chorus", 0x0003: "distortion",
+    0x0004: "echo", 0x0005: "flanger", 0x0006: "frequency_shifter",
+    0x0007: "vocal_morpher", 0x0008: "pitch_shifter",
+    0x0009: "ring_modulator", 0x000A: "autowah", 0x000B: "compressor",
+    0x000C: "equalizer", 0x8000: "eaxreverb",
+    0x9000: "dedicated_lfe", 0x9001: "dedicated_dialog",
+}
+
+# Per-type param-enum -> property-name tables (AL/efx.h values).
+_EFX_PARAMS = {
+    "reverb": {1: "density", 2: "diffusion", 3: "gain", 4: "gain_hf",
+               5: "decay_time", 6: "decay_hf_ratio", 7: "reflections_gain",
+               8: "reflections_delay", 9: "late_reverb_gain",
+               0x0A: "late_reverb_delay", 0x0B: "air_absorption_gain_hf",
+               0x0C: "room_rolloff_factor", 0x0D: "decay_hf_limit"},
+    "eaxreverb": {1: "density", 2: "diffusion", 3: "gain", 4: "gain_hf",
+                  5: "gain_lf", 6: "decay_time", 7: "decay_hf_ratio",
+                  8: "decay_lf_ratio", 9: "reflections_gain",
+                  0x0A: "reflections_delay", 0x0B: "reflections_pan",
+                  0x0C: "late_reverb_gain", 0x0D: "late_reverb_delay",
+                  0x0E: "late_reverb_pan", 0x0F: "echo_time",
+                  0x10: "echo_depth", 0x11: "modulation_time",
+                  0x12: "modulation_depth", 0x13: "air_absorption_gain_hf",
+                  0x14: "hf_reference", 0x15: "lf_reference",
+                  0x16: "room_rolloff_factor", 0x17: "decay_hf_limit"},
+    "chorus": {1: "waveform", 2: "phase", 3: "rate", 4: "depth",
+               5: "feedback", 6: "delay"},
+    "flanger": {1: "waveform", 2: "phase", 3: "rate", 4: "depth",
+                5: "feedback", 6: "delay"},
+    "distortion": {1: "edge", 2: "gain", 3: "lowpass_cutoff",
+                   4: "eq_center", 5: "eq_bandwidth"},
+    "echo": {1: "delay", 2: "lr_delay", 3: "damping", 4: "feedback",
+             5: "spread"},
+    "frequency_shifter": {1: "frequency", 2: "left_direction",
+                          3: "right_direction"},
+    "vocal_morpher": {1: "phoneme_a", 2: "phoneme_a_coarse", 3: "phoneme_b",
+                      4: "phoneme_b_coarse", 5: "waveform", 6: "rate"},
+    "pitch_shifter": {1: "coarse_tune", 2: "fine_tune"},
+    "ring_modulator": {1: "frequency", 2: "highpass_cutoff", 3: "waveform"},
+    "autowah": {1: "attack_time", 2: "release_time", 3: "resonance",
+                4: "peak_gain"},
+    "compressor": {1: "onoff"},
+    "equalizer": {1: "low_gain", 2: "low_cutoff", 3: "mid1_gain",
+                  4: "mid1_center", 5: "mid1_width", 6: "mid2_gain",
+                  7: "mid2_center", 8: "mid2_width", 9: "high_gain",
+                  0x0A: "high_cutoff"},
+    "dedicated_lfe": {1: "gain"},
+    "dedicated_dialog": {1: "gain"},
+    "null": {},
+}
+
+_FILTER_TYPE_ENUMS = {0: "null", 1: "lowpass", 2: "highpass", 3: "bandpass"}
+_FILTER_PARAMS = {
+    "lowpass": {1: "gain", 2: "gain_hf"},
+    "highpass": {1: "gain", 2: "gain_lf"},
+    "bandpass": {1: "gain", 2: "gain_lf", 3: "gain_hf"},
+    "null": {},
+}
+
+AL_INVALID_ENUM = 0xA002
+
+
+def alEffecti(eid: int, param: int, value: int) -> None:
+    eff = _ctx().effects[eid]
+    if param == AL_EFFECT_TYPE:
+        eff.set_type(_EFFECT_TYPE_ENUMS[value])
+        return
+    eff.set(_EFX_PARAMS[eff.type][param], int(value))
+
+
+def alEffectf(eid: int, param: int, value: float) -> None:
+    eff = _ctx().effects[eid]
+    eff.set(_EFX_PARAMS[eff.type][param], float(value))
+
+
+def alEffectfv(eid: int, param: int, values) -> None:
+    eff = _ctx().effects[eid]
+    name = _EFX_PARAMS[eff.type][param]
+    vals = tuple(float(v) for v in values)
+    eff.set(name, vals if len(vals) > 1 else vals[0])
+
+
+def alGetEffecti(eid: int, param: int) -> int:
+    eff = _ctx().effects[eid]
+    if param == AL_EFFECT_TYPE:
+        inv = {v: k for k, v in _EFFECT_TYPE_ENUMS.items()}
+        return inv[eff.type]
+    return int(eff.get(_EFX_PARAMS[eff.type][param]))
+
+
+def alGetEffectf(eid: int, param: int) -> float:
+    eff = _ctx().effects[eid]
+    return float(eff.get(_EFX_PARAMS[eff.type][param]))
+
+
+def alFilteri(fid: int, param: int, value: int) -> None:
+    flt = _ctx().filters[fid]
+    if param == AL_FILTER_TYPE:
+        flt.set_type(_FILTER_TYPE_ENUMS[value])
+        return
+    flt.set(_FILTER_PARAMS[flt.type][param], int(value))
+
+
+def alFilterf(fid: int, param: int, value: float) -> None:
+    flt = _ctx().filters[fid]
+    flt.set(_FILTER_PARAMS[flt.type][param], float(value))
+
+
+def alGetFilteri(fid: int, param: int) -> int:
+    flt = _ctx().filters[fid]
+    if param == AL_FILTER_TYPE:
+        inv = {v: k for k, v in _FILTER_TYPE_ENUMS.items()}
+        return inv[flt.type]
+    return int(flt.props[_FILTER_PARAMS[flt.type][param]])
+
+
+def alAuxiliaryEffectSloti(slot_id: int, param: int, value: int) -> None:
+    ctx = _ctx()
+    slot = ctx.aux_slots[slot_id]
+    if param == AL_EFFECTSLOT_EFFECT:
+        slot.set_effect(ctx.effects[value] if value else None)
+    elif param == AL_EFFECTSLOT_AUXILIARY_SEND_AUTO:
+        slot.aux_send_auto = bool(value)
+    else:
+        raise ValueError(f"alAuxiliaryEffectSloti param {param:#x}")
+
+
+def alAuxiliaryEffectSlotf(slot_id: int, param: int, value: float) -> None:
+    slot = _ctx().aux_slots[slot_id]
+    if param == AL_EFFECTSLOT_GAIN:
+        slot.gain = float(value)
+        slot.props_dirty = True
+    else:
+        raise ValueError(f"alAuxiliaryEffectSlotf param {param:#x}")
+
+
+# --- object deletion + remaining getters --------------------------------------
+
+def alDeleteSources(ids) -> None:
+    ctx = _ctx()
+    for sid in ([ids] if isinstance(ids, int) else ids):
+        src = ctx.sources.pop(sid, None)
+        if src is not None:
+            src.stop()
+
+
+def alDeleteBuffers(ids) -> None:
+    ctx = _ctx()
+    for bid in ([ids] if isinstance(ids, int) else ids):
+        buf = ctx.buffers.pop(bid, None)
+        if buf is not None and buf.pool_offset >= 0:
+            with ctx.device.lock:
+                ctx.device.pool.free(buf.pool_offset, buf._pool_size)
+            buf.pool_offset = -1
+
+
+def alDeleteEffects(ids) -> None:
+    ctx = _ctx()
+    for eid in ([ids] if isinstance(ids, int) else ids):
+        ctx.effects.pop(eid, None)
+
+
+def alDeleteFilters(ids) -> None:
+    ctx = _ctx()
+    for fid in ([ids] if isinstance(ids, int) else ids):
+        ctx.filters.pop(fid, None)
+
+
+def alDeleteAuxiliaryEffectSlots(ids) -> None:
+    ctx = _ctx()
+    for sid in ([ids] if isinstance(ids, int) else ids):
+        slot = ctx.aux_slots.pop(sid, None)
+        if slot is not None:
+            slot.set_effect(None)
+
+
+def alSourceUnqueueBuffers(sid: int, n: int = 1):
+    """Pop processed queue entries (al/source.cpp alSourceUnqueueBuffers)."""
+    src = _ctx().sources[sid]
+    v = src.voice
+    done = v.queue_index if (v is not None and v.source_id == sid) \
+        else len(src.queue)
+    take = min(n, done)
+    popped = [b.id for b in src.queue[:take]]
+    # The queue list itself stays (voice indices reference it); the app
+    # just gets back which buffers finished.
+    return popped[0] if n == 1 and popped else popped
+
+
+def alSourcefv(sid: int, param: int, values) -> None:
+    vals = [float(v) for v in values]
+    if param in _SOURCE_3F:
+        alSource3f(sid, param, *vals[:3])
+    else:
+        alSourcef(sid, param, vals[0])
+
+
+def alGetSourcef(sid: int, param: int) -> float:
+    src = _ctx().sources[sid]
+    if param == AL_SEC_OFFSET:
+        return src.sec_offset()
+    if param in _SOURCE_F:
+        return float(src.get(_SOURCE_F[param]))
+    raise ValueError(f"alGetSourcef param {param:#x}")
+
+
+def alGetSource3f(sid: int, param: int):
+    src = _ctx().sources[sid]
+    if param in _SOURCE_3F:
+        return tuple(float(x) for x in src.get(_SOURCE_3F[param]))
+    raise ValueError(f"alGetSource3f param {param:#x}")
+
+
+AL_FREQUENCY = 0x2001
+AL_BITS = 0x2002
+AL_CHANNELS = 0x2003
+AL_SIZE = 0x2004
+AL_LOOP_POINTS_SOFT = 0x2015
+
+
+def alGetBufferi(bid: int, param: int) -> int:
+    buf = _ctx().buffers[bid]
+    if param == AL_FREQUENCY:
+        return buf.sample_rate
+    if param == AL_CHANNELS:
+        return buf.channels
+    if param == AL_BITS:
+        return 32
+    if param == AL_SIZE:
+        return buf.sample_len * buf.channels * 4
+    raise ValueError(f"alGetBufferi param {param:#x}")
+
+
+def alBufferiv(bid: int, param: int, values) -> None:
+    buf = _ctx().buffers[bid]
+    if param == AL_LOOP_POINTS_SOFT:
+        start, end = int(values[0]), int(values[1])
+        if not (0 <= start < end <= buf.sample_len):
+            _ctx().set_error(0xA002, "invalid loop points")
+            return
+        buf.loop_start, buf.loop_end = start, end
+    else:
+        raise ValueError(f"alBufferiv param {param:#x}")
+
+
+ALC_FREQUENCY = 0x1007
+ALC_MONO_SOURCES = 0x1010
+ALC_STEREO_SOURCES = 0x1011
+ALC_MAX_AUXILIARY_SENDS = 0x20003
+ALC_ATTRIBUTES_SIZE = 0x1002
+ALC_ALL_ATTRIBUTES = 0x1003
+ALC_CONNECTED = 0x313
+
+
+def alcGetIntegerv(device, param: int):
+    """Device attribute queries (alcGetIntegerv, alc/alc.cpp:2425-2570)."""
+    render = getattr(device, "render", device)
+    attrs = [
+        (ALC_FREQUENCY, render.sample_rate),
+        (ALC_MONO_SOURCES, render.capacity),
+        (ALC_STEREO_SOURCES, render.capacity // 2),
+        (ALC_MAX_AUXILIARY_SENDS, render.num_aux_sends),
+        (ALC_CONNECTED, int(getattr(render, "connected", True))),
+    ]
+    if param == ALC_ATTRIBUTES_SIZE:
+        return 2 * len(attrs) + 1
+    if param == ALC_ALL_ATTRIBUTES:
+        flat = []
+        for k, v in attrs:
+            flat += [k, v]
+        return flat + [0]
+    for k, v in attrs:
+        if param == k:
+            return v
+    raise ValueError(f"alcGetIntegerv param {param:#x}")
+
+
+# --- EAX 2.0-5.0 compat (al/eax/) ---------------------------------------------
+
+def EAXSet(property_set_guid: str, property_id: int, source_id: int,
+           value) -> None:
+    """EAXSet dispatch (al/eax/call.h:26 EaxCall)."""
+    from . import eax as _eax
+    _eax.eax_set(_ctx(), property_set_guid, property_id, source_id, value)
+
+
+def EAXGet(property_set_guid: str, property_id: int, source_id: int):
+    from . import eax as _eax
+    return _eax.eax_get(_ctx(), property_set_guid, property_id, source_id)
+
+
+def alEnable(capability: int) -> None:
+    from . import debug as _dbg
+    if capability == _dbg.AL_DEBUG_OUTPUT_EXT:
+        _debug().enabled = True
+    else:
+        _ctx().set_error(0xA003, f"invalid capability {capability:#x}")
+
+
+def alDisable(capability: int) -> None:
+    from . import debug as _dbg
+    if capability == _dbg.AL_DEBUG_OUTPUT_EXT:
+        _debug().enabled = False
+    else:
+        _ctx().set_error(0xA003, f"invalid capability {capability:#x}")
+
+
+def alIsEnabled(capability: int) -> bool:
+    from . import debug as _dbg
+    if capability == _dbg.AL_DEBUG_OUTPUT_EXT:
+        return _debug().enabled
+    _ctx().set_error(0xA003, f"invalid capability {capability:#x}")
+    return False
 
 
 _install_entry_shields()

@@ -24,4 +24,4 @@ def test_build_and_run_c_client():
     proc = subprocess.run([str(NATIVE / "test_shim")], timeout=600,
                           capture_output=True, text=True)
     assert proc.returncode == 0, proc.stdout + proc.stderr
-    assert "PEAK=" in proc.stdout and "STATE=playing" in proc.stdout
+    assert "PEAK=" in proc.stdout and "STREAM_PEAK=" in proc.stdout
