@@ -38,9 +38,18 @@ import jax.numpy as jnp
 
 f32 = np.float32
 
-FILTER_SIZE = 256          # UhjQualityType::FIR256 (the default quality)
-PAD = FILTER_SIZE // 2     # decoder input padding (uhjfilter.h:111)
-HIST = PAD - 1             # carried phase-shifter history
+FILTER_SIZE = 256          # UhjQualityType::FIR256
+FILTER_SIZE_HQ = 512       # UhjQualityType::FIR512
+PAD = FILTER_SIZE // 2     # FIR256 decoder input padding (uhjfilter.h:111)
+HIST = PAD - 1             # FIR256 carried phase-shifter history
+
+
+def fir_pad(n: int = FILTER_SIZE) -> int:
+    return n // 2
+
+
+def fir_hist(n: int = FILTER_SIZE) -> int:
+    return n // 2 - 1
 
 # Decoder scale factors (uhjfilter.cpp:280-298)
 W_S, W_JDT = 0.981532, 0.161245010788
@@ -93,14 +102,15 @@ def phase_shift(x_ext: jax.Array, T: int, n: int = FILTER_SIZE) -> jax.Array:
 
 
 def uhj_decode(chans: jax.Array, dt_hist: jax.Array, s_hist: jax.Array,
-               T: int, n_input: int):
+               T: int, n_input: int, n: int = FILTER_SIZE):
     """Batched UHJ2/3/4 decode (UhjDecoder::decode, uhjfilter.cpp:300-361).
 
     Args:
-      chans: [U, C, T + PAD] resampled voice channels (C = 3 or 4;
+      chans: [U, C, T + n//2] resampled voice channels (C = 3 or 4;
         UHJ2 voices have a zero-filled third line).
-      dt_hist/s_hist: [U, HIST] carried shifter histories.
+      dt_hist/s_hist: [U, n//2 - 1] carried shifter histories.
       T: output frames; n_input: 2, 3 or 4 (buffer channels).
+      n: FIR tier (256 or 512 taps).
     Returns (out [U, C, T] with W/X/Y[/Z], dt_hist', s_hist').
     """
     left, right = chans[:, 0], chans[:, 1]
@@ -108,14 +118,15 @@ def uhj_decode(chans: jax.Array, dt_hist: jax.Array, s_hist: jax.Array,
     s = left + right
     d = left - right
 
-    dt = f32(DT_D) * d + f32(DT_T) * tch                 # [U, T+PAD]
+    hist = fir_hist(n)
+    dt = f32(DT_D) * d + f32(DT_T) * tch                 # [U, T+n/2]
     dt_ext = jnp.concatenate([dt_hist, dt], axis=1)      # [U, T+N-1]
-    jdt = phase_shift(dt_ext, T)
-    new_dt_hist = dt_ext[:, T:T + HIST]
+    jdt = phase_shift(dt_ext, T, n)
+    new_dt_hist = dt_ext[:, T:T + hist]
 
     s_ext = jnp.concatenate([s_hist, s], axis=1)
-    js = phase_shift(s_ext, T)
-    new_s_hist = s_ext[:, T:T + HIST]
+    js = phase_shift(s_ext, T, n)
+    new_s_hist = s_ext[:, T:T + hist]
 
     st, dtr, tt = s[:, :T], d[:, :T], tch[:, :T]
     w = f32(W_S) * st + f32(W_JDT) * jdt
@@ -128,22 +139,27 @@ def uhj_decode(chans: jax.Array, dt_hist: jax.Array, s_hist: jax.Array,
 
 
 def super_stereo_decode(chans: jax.Array, dt_hist: jax.Array,
-                        s_hist: jax.Array, width: jax.Array, T: int):
+                        s_hist: jax.Array, width: jax.Array, T: int,
+                        n: int = FILTER_SIZE, j_sign: float = 1.0):
     """Batched Super Stereo decode (UhjStereoDecoder, uhjfilter.cpp:430-523).
 
-    chans: [U, 3, T + PAD] (third line zero); width: [U] (EnhWidth <= 0.7).
+    chans: [U, 3, T + n//2] (third line zero); width: [U] (EnhWidth <= 0.7).
+    ``j_sign=-1`` gives the TSME stereo decoder (core/tsmefilter.cpp:332-430:
+    identical matrix with the phase shift reversed to match the TSME
+    encoder's phase convention).
     """
+    hist = fir_hist(n)
     left, right = chans[:, 0], chans[:, 1]
     s = left + right
     d = (left - right) * width[:, None]
 
     d_ext = jnp.concatenate([dt_hist, d], axis=1)
-    jd = phase_shift(d_ext, T)
-    new_dt_hist = d_ext[:, T:T + HIST]
+    jd = phase_shift(d_ext, T, n) * f32(j_sign)
+    new_dt_hist = d_ext[:, T:T + hist]
 
     s_ext = jnp.concatenate([s_hist, s], axis=1)
-    js = phase_shift(s_ext, T)
-    new_s_hist = s_ext[:, T:T + HIST]
+    js = phase_shift(s_ext, T, n) * f32(j_sign)
+    new_s_hist = s_ext[:, T:T + hist]
 
     st, dtr = s[:, :T], d[:, :T]
     w = f32(SS_W_S) * st + f32(SS_W_JD) * jd
@@ -160,22 +176,27 @@ ENC_D_Y = 0.267586995182
 ENC_T_JW, ENC_T_JX = -0.1432, 0.5317025735
 ENC_T_Y = -0.57735026919
 ENC_Q_Z = 0.797880458882
-ENC_DELAY = FILTER_SIZE // 2 + FILTER_SIZE // 2  # sFilterDelay = N/2 + seg
+ENC_SEGMENT = 128                           # sSegmentSize = sFftLength/2
+ENC_DELAY = FILTER_SIZE // 2 + ENC_SEGMENT  # sFilterDelay = N/2 + seg
 
 class UhjEncoderState:
-    """Stereo-UHJ output post-process, block-batched.
+    """Stereo-UHJ FIR output post-process, block-batched (UhjEncoder<N>,
+    uhjfilter.cpp:82-215; n = 256 or 512 taps).
 
-    The direct S path is delayed by sFilterDelay to align with the shifted
-    D path; state carries the delayed W/X/Y tails and the shifter history.
+    The direct S path is delayed by sFilterDelay (= n/2 + 128) to align
+    with the shifted D path; state carries the delayed W/X/Y tails and the
+    shifter history.
     """
 
-    def __init__(self, delay: int = ENC_DELAY):
-        self.delay = delay
+    def __init__(self, n: int = FILTER_SIZE):
+        self.n = n
+        self.delay = n // 2 + ENC_SEGMENT
 
     def init(self):
         return {
             "wxy": jnp.zeros((3, self.delay), jnp.float32),
-            "jwx_hist": jnp.zeros(HIST + self.delay, jnp.float32),
+            "jwx_hist": jnp.zeros(fir_hist(self.n) + self.delay,
+                                  jnp.float32),
         }
 
     def encode(self, state: dict, w, x, y, T: int):
@@ -187,15 +208,50 @@ class UhjEncoderState:
         new_wxy = jnp.stack([wd[T:], xd[T:], yd[T:]])
 
         # j(-0.17101005*W + 0.208149636675*X) on the *undelayed* signal so
-        # the shifter's N/2-1 causal core lines up with the S delay.
+        # the shifter's n/2-1 causal core lines up with the S delay.
         wx = f32(ENC_JD_W) * w + f32(ENC_JD_X) * x
         wx_ext = jnp.concatenate([state["jwx_hist"], wx])
-        jwx = phase_shift(wx_ext[None], T)[0]
-        new_hist = wx_ext[T:T + HIST + d]
+        jwx = phase_shift(wx_ext[None], T, self.n)[0]
+        new_hist = wx_ext[T:T + fir_hist(self.n) + d]
 
         s = f32(ENC_S_W) * wd[:T] + f32(ENC_S_X) * xd[:T]
         dd = jwx + f32(ENC_D_Y) * yd[:T]
         return ({"wxy": new_wxy, "jwx_hist": new_hist}, s + dd, s - dd)
+
+
+class TsmeEncoderState:
+    """Stereo-TSME FIR output post-process (TsmeEncoder<N>,
+    tsmefilter.cpp:138-278): like the UHJ encoder but the height channel
+    folds into S and the inputs arrive in ACN order (W, Y, Z, X)."""
+
+    def __init__(self, n: int = FILTER_SIZE):
+        self.n = n
+        self.delay = n // 2 + ENC_SEGMENT
+
+    def init(self):
+        return {
+            "wyzx": jnp.zeros((4, self.delay), jnp.float32),
+            "jwx_hist": jnp.zeros(fir_hist(self.n) + self.delay,
+                                  jnp.float32),
+        }
+
+    def encode(self, state: dict, w, y, z, x, T: int):
+        d = self.delay
+        wd = jnp.concatenate([state["wyzx"][0], w])
+        yd = jnp.concatenate([state["wyzx"][1], y])
+        zd = jnp.concatenate([state["wyzx"][2], z])
+        xd = jnp.concatenate([state["wyzx"][3], x])
+        new_wyzx = jnp.stack([wd[T:], yd[T:], zd[T:], xd[T:]])
+
+        wx = f32(TSME_D_W) * w + f32(TSME_D_X) * x
+        wx_ext = jnp.concatenate([state["jwx_hist"], wx])
+        jwx = phase_shift(wx_ext[None], T, self.n)[0]
+        new_hist = wx_ext[T:T + fir_hist(self.n) + d]
+
+        s = (f32(TSME_S_W) * wd[:T] + f32(TSME_S_X) * xd[:T]
+             + f32(TSME_S_Z) * zd[:T])
+        dd = jwx + f32(TSME_D_Y) * yd[:T]
+        return ({"wyzx": new_wyzx, "jwx_hist": new_hist}, s + dd, s - dd)
 
 
 # --- IIR quality tier (the default: UhjQualityType::Default == IIR) ----------
@@ -288,11 +344,12 @@ def uhj_decode_iir(chans: jax.Array, st: dict, T: int, n_input: int):
 
 
 def super_stereo_decode_iir(chans: jax.Array, st: dict, width: jax.Array,
-                            T: int):
+                            T: int, j_sign: float = 1.0):
     """Batched UhjStereoDecoderIIR::decode (uhjfilter.cpp:525-600).
 
     Width changes apply immediately (the reference interpolates the width
     over the first block after a change; a one-block transient).
+    ``j_sign=-1`` = the TSME stereo decoder (tsmefilter.cpp:429-505).
     """
     left, right = chans[:, 0], chans[:, 1]
     s = left + right
@@ -307,6 +364,8 @@ def super_stereo_decode_iir(chans: jax.Array, st: dict, width: jax.Array,
                         FILTER2_COEFF)
     f1d_y, f1dt = _allpass4(d[:, :T], st["f1dt"], FILTER1_COEFF)
 
+    jd = jd * f32(j_sign)
+    js = js * f32(j_sign)
     w = f32(SS_W_S) * f1s_y + f32(SS_W_JD) * jd
     x = f32(SS_X_S) * f1s_y + f32(SS_X_JD) * jd
     y = f32(SS_Y_D) * f1d_y + f32(SS_Y_JS) * js

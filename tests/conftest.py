@@ -37,3 +37,31 @@ if os.environ.get("OPENAL_CPU_TESTS") == "1":
 jax.config.update("jax_compilation_cache_dir", "/tmp/openal_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
+# --- fast-CI marker -----------------------------------------------------------
+# `pytest -m fast` selects a subset that finishes in well under 10 minutes
+# cold on the TPU: op-level unit tests, host-side API/protocol tests, and
+# the light e2e scenarios (small capacities, cached goldens).  The heavy
+# golden suites (HRTF/effects/ambdec at full block counts) stay unmarked.
+
+_FAST_MODULES = {
+    "test_mix", "test_resample", "test_tables", "test_converter",
+    "test_bs2b", "test_nfc", "test_output_stage", "test_error_events",
+    "test_al_api", "test_debug_ext", "test_eax", "test_hrtf_loader",
+    "test_checkpoint", "test_native_shim", "test_callback_buffer",
+    "test_chunk_invariance", "test_device_fallback",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers",
+                            "fast: quick subset for cold-TPU CI (<10 min)")
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+
+    for item in items:
+        if item.module.__name__.rsplit(".", 1)[-1] in _FAST_MODULES:
+            item.add_marker(_pytest.mark.fast)
