@@ -247,15 +247,47 @@ def alGenSources(n: int = 1):
     return ids[0] if n == 1 else ids
 
 
+# Extended source property enums (AL/alext.h)
+AL_SOURCE_RADIUS = 0x1031
+AL_STEREO_ANGLES = 0x1030
+AL_DIRECT_CHANNELS_SOFT = 0x1033
+AL_SOURCE_RESAMPLER_SOFT = 0x1210
+AL_SOURCE_SPATIALIZE_SOFT = 0x1214
+AL_STEREO_MODE_SOFT = 0x19B0
+AL_SUPER_STEREO_WIDTH_SOFT = 0x19B1
+AL_AIR_ABSORPTION_FACTOR = 0x20007
+AL_ROOM_ROLLOFF_FACTOR = 0x20008
+AL_CONE_OUTER_GAINHF = 0x20009
+AL_DIRECT_FILTER_GAINHF_AUTO = 0x2000A
+AL_AUXILIARY_SEND_FILTER_GAIN_AUTO = 0x2000B
+AL_AUXILIARY_SEND_FILTER_GAINHF_AUTO = 0x2000C
+AL_DOPPLER_FACTOR_SRC = 0xC000
+AL_PANNING_ENABLED_SOFT = 0x19EC
+AL_PANNING_SOFT = 0x19ED
+
 _SOURCE_F = {
     AL_PITCH: "pitch", AL_GAIN: "gain", AL_MIN_GAIN: "min_gain",
     AL_MAX_GAIN: "max_gain", AL_REFERENCE_DISTANCE: "ref_distance",
     AL_ROLLOFF_FACTOR: "rolloff_factor", AL_MAX_DISTANCE: "max_distance",
     AL_CONE_INNER_ANGLE: "inner_angle", AL_CONE_OUTER_ANGLE: "outer_angle",
     AL_CONE_OUTER_GAIN: "outer_gain",
+    AL_SOURCE_RADIUS: "radius",
+    AL_SUPER_STEREO_WIDTH_SOFT: "enh_width",
+    AL_AIR_ABSORPTION_FACTOR: "air_absorption_factor",
+    AL_ROOM_ROLLOFF_FACTOR: "room_rolloff_factor",
+    AL_CONE_OUTER_GAINHF: "outer_gain_hf",
+    AL_DOPPLER_FACTOR_SRC: "doppler_factor",
+    AL_PANNING_SOFT: "panning",
 }
 _SOURCE_3F = {AL_POSITION: "position", AL_VELOCITY: "velocity",
               AL_DIRECTION: "direction"}
+# Integer/bool properties mapping straight onto VoiceProps fields.
+_SOURCE_I = {
+    AL_DIRECT_FILTER_GAINHF_AUTO: "dry_gain_hf_auto",
+    AL_AUXILIARY_SEND_FILTER_GAIN_AUTO: "wet_gain_auto",
+    AL_AUXILIARY_SEND_FILTER_GAINHF_AUTO: "wet_gain_hf_auto",
+    AL_PANNING_ENABLED_SOFT: "panning_enabled",
+}
 
 
 def alSourcef(sid: int, param: int, value: float) -> None:
@@ -279,6 +311,20 @@ def alSourcei(sid: int, param: int, value: int) -> None:
         src.direct_filter(ctx.filters.get(value))
     elif param == AL_SAMPLE_OFFSET:
         src.offset = int(value)
+    elif param in _SOURCE_I:
+        src.set(_SOURCE_I[param], bool(value))
+    elif param == AL_SOURCE_SPATIALIZE_SOFT:
+        from ..core.voice import SpatializeMode
+        src.set("spatialize_mode", {0: SpatializeMode.OFF,
+                                    1: SpatializeMode.ON,
+                                    2: SpatializeMode.AUTO}[value])
+    elif param == AL_SOURCE_RESAMPLER_SOFT:
+        from ..core.voice import Resampler
+        src.set("resampler", list(Resampler)[value])
+    elif param == AL_STEREO_MODE_SOFT:
+        # AL_SUPER_STEREO_SOFT reinterprets a stereo buffer as Super
+        # Stereo at play time (AL_SOFT_UHJ, al/source.cpp stereo-mode).
+        src.super_stereo = bool(value)
     else:
         raise ValueError(f"alSourcei param {param:#x}")
 
@@ -308,6 +354,26 @@ def alSourceRewind(sid: int) -> None:
     _ctx().sources[sid].rewind()
 
 
+def alSourcePlayAtTimeSOFT(sid: int, start_time_ns: int) -> None:
+    """AL_SOFT_source_start_delay (al/source.cpp alSourcePlayAtTimeSOFT):
+    start playback when the device clock reaches start_time_ns.
+
+    Maps onto the renderer's native leading-silence handling: the voice
+    starts at a negative source position sized to the delay, so the
+    mix emits exact silence until the clock target (voice.cpp:847-864)."""
+    ctx = _ctx()
+    src = ctx.sources[sid]
+    dev = ctx.device
+    delay_dev = max(0, int(start_time_ns) - dev.clock_ns()) \
+        * dev.sample_rate // 1_000_000_000
+    if delay_dev > 0 and src.queue:
+        ratio = (src.queue[0].sample_rate * float(src.props.pitch)
+                 / dev.sample_rate)
+        src.offset = -int(round(delay_dev * ratio))
+    src.play()
+    src.offset = 0
+
+
 def alSourceQueueBuffers(sid: int, buffer_ids) -> None:
     ctx = _ctx()
     ctx.sources[sid].queue_buffers(*[ctx.buffers[b] for b in buffer_ids])
@@ -323,6 +389,27 @@ def alGetSourcei(sid: int, param: int) -> int:
                 SourceState.STOPPED: AL_STOPPED}[src.state]
     if param == AL_SAMPLE_OFFSET:
         return src.sample_offset()
+    if param == AL_BYTE_OFFSET:
+        # Byte offset in the buffer's ORIGINAL storage format
+        # (GetSampleOffset inverse, al/source.cpp:550-600): whole ADPCM
+        # blocks for block codecs, frames x frame-size otherwise.
+        if not src.queue:
+            return 0
+        from ..core.devformat import FmtType
+        buf = src.queue[0]
+        off = src.sample_offset()
+        styp = getattr(buf, "orig_type", FmtType.FLOAT)
+        align = getattr(buf, "orig_align", 1)
+        if styp == FmtType.IMA4:
+            blocksz = ((align - 1) // 2 + 4) * buf.channels
+            return (off // align) * blocksz
+        if styp == FmtType.MSADPCM:
+            blocksz = ((align - 2) // 2 + 7) * buf.channels
+            return (off // align) * blocksz
+        nbytes = {FmtType.UBYTE: 1, FmtType.SHORT: 2,
+                  FmtType.INT: 4, FmtType.FLOAT: 4, FmtType.DOUBLE: 8,
+                  FmtType.MULAW: 1, FmtType.ALAW: 1}.get(styp, 4)
+        return off * nbytes * buf.channels
     raise ValueError(f"alGetSourcei param {param:#x}")
 
 

@@ -78,6 +78,10 @@ class Buffer:
         self.sample_rate = int(sample_rate)
         self.channels = nch
         self.ambi_order = ambi_order
+        self.orig_type = styp
+        self.orig_align = samples_per_block or (65 if styp == FmtType.IMA4
+                                                else 64 if styp == FmtType.MSADPCM
+                                                else 1)
         self.sample_len = planar.shape[1]
         self.loop_start = 0
         self.loop_end = self.sample_len

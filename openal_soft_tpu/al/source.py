@@ -88,7 +88,15 @@ class Source:
     # --- playback control ---
 
     def play(self) -> None:
-        """alSourcePlay → StartSources (al/source.cpp:2561)."""
+        """alSourcePlay → StartSources (al/source.cpp:2561).
+
+        Serialized on the device lock: concurrent plays/stops on one source
+        must observe each other's voice handoff (the reference serializes
+        source ops on the context property lock, al/source.cpp:2561)."""
+        with self.context.device.lock:
+            self._play_locked()
+
+    def _play_locked(self) -> None:
         ctx = self.context
         dev = ctx.device
         if not self.queue or (self.queue[0].sample_len == 0
@@ -117,6 +125,11 @@ class Source:
 
         buf0 = self.queue[0]
         v.fmt_channels = buf0.fmt_channels
+        if (getattr(self, "super_stereo", False)
+                and buf0.fmt_channels == FmtChannels.STEREO):
+            # AL_STEREO_MODE_SOFT = AL_SUPER_STEREO_SOFT: a stereo buffer
+            # plays through the Super Stereo decoder (AL_SOFT_UHJ).
+            v.fmt_channels = FmtChannels.SUPER_STEREO
         v.frequency = buf0.sample_rate
         v.ambi_order = buf0.ambi_order
         v.is_ambisonic = _isamb(buf0.fmt_channels)
@@ -165,24 +178,27 @@ class Source:
         return v.num_mix_channels()
 
     def stop(self) -> None:
-        if self.voice is not None and self.voice.source_id == self.id:
-            self.context.queue_change(VoiceChange(VChange.STOP, self.voice,
-                                                  source_id=self.id))
-        self.state = SourceState.STOPPED
-        self.offset = 0
+        with self.context.device.lock:
+            if self.voice is not None and self.voice.source_id == self.id:
+                self.context.queue_change(VoiceChange(VChange.STOP, self.voice,
+                                                      source_id=self.id))
+            self.state = SourceState.STOPPED
+            self.offset = 0
 
     def pause(self) -> None:
-        if self.state == SourceState.PLAYING and self.voice is not None:
-            self.context.queue_change(VoiceChange(VChange.PAUSE, self.voice,
-                                                  source_id=self.id))
-            self.state = SourceState.PAUSED
+        with self.context.device.lock:
+            if self.state == SourceState.PLAYING and self.voice is not None:
+                self.context.queue_change(VoiceChange(VChange.PAUSE, self.voice,
+                                                      source_id=self.id))
+                self.state = SourceState.PAUSED
 
     def rewind(self) -> None:
-        if self.voice is not None and self.voice.source_id == self.id:
-            self.context.queue_change(VoiceChange(VChange.RESET, self.voice,
-                                                  source_id=self.id))
-        self.state = SourceState.INITIAL
-        self.offset = 0
+        with self.context.device.lock:
+            if self.voice is not None and self.voice.source_id == self.id:
+                self.context.queue_change(VoiceChange(VChange.RESET, self.voice,
+                                                      source_id=self.id))
+            self.state = SourceState.INITIAL
+            self.offset = 0
 
     def voice_ended(self) -> None:
         self.state = SourceState.STOPPED

@@ -121,7 +121,10 @@ class AlsaBackend:
                 buf = np.ascontiguousarray(data)
                 ptr = buf.ctypes.data_as(ct.c_void_p)
                 done = 0
-                while done < period_frames and self._running:
+                # A rendered period is always written out fully, even when
+                # stop() raced in: dropping the tail would lose rendered
+                # frames and break stream continuity across pause/resume.
+                while done < period_frames:
                     n = self._lib.snd_pcm_writei(
                         self._pcm,
                         ct.c_void_p(ptr.value

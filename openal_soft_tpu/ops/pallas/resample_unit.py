@@ -165,7 +165,12 @@ def _kernel(meta_sref,                      # [V*8] int32 scalar prefetch
             return jnp.where(lane < LANE - f, rolled[:K], rolled[1:])
 
         sw_ref[v, 0] = img(0, q1)
-        sw_ref[v, 1] = img(1, q2)
+        lc = jnp.maximum(ln - 1, 0) - rb
+        fast = jnp.where(hl, ~need2, (rb >= 0) & (lc >= T + taps - 1))
+
+        @pl.when(~fast)
+        def _():
+            sw_ref[v, 1] = img(1, q2)
         return carry
 
     for _v in range(nv):
@@ -175,33 +180,52 @@ def _kernel(meta_sref,                      # [V*8] int32 scalar prefetch
     # Reads come straight from the sw scratch (Mosaic folds the ref read
     # into the lane rotate) and every tap's masks are computed
     # independently — more ILP than masking the stream once up front (the
-    # fused-mask form measured ~60% slower).
+    # fused-mask form measured ~60% slower).  Voices whose whole window is
+    # in-bounds with no loop seam — the overwhelming majority of any real
+    # scene — take a mask-free body (program-level branch per voice, the
+    # Pallas analog of the reference's per-voice kernel dispatch).
     def taps_body(v, carry):
         rb, row1, q1, D, row2, q2, need2, ln, hl = voice_geometry(v)
         sw1 = sw_ref[v, 0]
-        sw2 = sw_ref[v, 1]
-        # Non-loop end clamp duplicates the final frame (voice.cpp:493-505):
-        # extract stream sample (ln-1) by masked reduction (no VMEM scalar
-        # loads), then splat it over the past-end region.
         lc = jnp.maximum(ln - 1, 0) - rb                    # clamp threshold
-        lci = jnp.clip(lc, 0, T + taps - 1)
-        last = jnp.sum(jnp.where(m_iota == lci, sw1, 0.0))
-        mthresh = -rb                                       # s>=0 <=> m>=-rb
-
         wbase = (v0 + v) * taps
-        acc = jnp.zeros((rows, LANE), jnp.float32)
-        for j in range(taps):
-            jl = (LANE - j) % LANE           # left-rotate j as right-rotate
-            a1 = pltpu.roll(sw1, jl, 1)
-            val1 = jnp.where(lane < LANE - j, a1, pltpu.roll(a1, K - 1, 0))
-            a2 = pltpu.roll(sw2, jl, 1)
-            val2 = jnp.where(lane < LANE - j, a2, pltpu.roll(a2, K - 1, 0))
-            mj = m_iota + j
-            val = jnp.where(hl & (mj >= D), val2, val1)
-            val = jnp.where(~hl & (mj > lc), last, val)
-            val = jnp.where((mj >= mthresh) & (ln > 0), val, 0.0)
-            acc = acc + w_sref[wbase + j] * val[:rows]
-        out_ref[v] = acc
+        fast = jnp.where(hl, ~need2, (rb >= 0) & (lc >= T + taps - 1))
+
+        @pl.when(fast)
+        def _():
+            acc = jnp.zeros((rows, LANE), jnp.float32)
+            for j in range(taps):
+                jl = (LANE - j) % LANE
+                a1 = pltpu.roll(sw1, jl, 1)
+                val = jnp.where(lane < LANE - j, a1,
+                                pltpu.roll(a1, K - 1, 0))
+                acc = acc + w_sref[wbase + j] * val[:rows]
+            out_ref[v] = acc
+
+        @pl.when(~fast)
+        def _():
+            sw2 = sw_ref[v, 1]
+            # Non-loop end clamp duplicates the final frame
+            # (voice.cpp:493-505): extract stream sample (ln-1) by masked
+            # reduction, then splat it over the past-end region.
+            lci = jnp.clip(lc, 0, T + taps - 1)
+            last = jnp.sum(jnp.where(m_iota == lci, sw1, 0.0))
+            mthresh = -rb                                   # s>=0 <=> m>=-rb
+            acc = jnp.zeros((rows, LANE), jnp.float32)
+            for j in range(taps):
+                jl = (LANE - j) % LANE       # left-rotate j as right-rotate
+                a1 = pltpu.roll(sw1, jl, 1)
+                val1 = jnp.where(lane < LANE - j, a1,
+                                 pltpu.roll(a1, K - 1, 0))
+                a2 = pltpu.roll(sw2, jl, 1)
+                val2 = jnp.where(lane < LANE - j, a2,
+                                 pltpu.roll(a2, K - 1, 0))
+                mj = m_iota + j
+                val = jnp.where(hl & (mj >= D), val2, val1)
+                val = jnp.where(~hl & (mj > lc), last, val)
+                val = jnp.where((mj >= mthresh) & (ln > 0), val, 0.0)
+                acc = acc + w_sref[wbase + j] * val[:rows]
+            out_ref[v] = acc
         return carry
 
     for _v in range(nv):

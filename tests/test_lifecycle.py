@@ -162,7 +162,7 @@ def test_threaded_param_stress(fake_alsa, tmp_path, monkeypatch):
     from openal_soft_tpu.alc import alsa
     alsa._lib_cache = None
 
-    dev = lifecycle.open_device(capacity=32)
+    dev = lifecycle.open_device(capacity=64)
     try:
         ctx = dev.create_context()
         buf = ctx.create_buffer()
