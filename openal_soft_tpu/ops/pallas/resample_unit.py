@@ -166,7 +166,11 @@ def _kernel(meta_sref,                      # [V*8] int32 scalar prefetch
 
         sw_ref[v, 0] = img(0, q1)
         lc = jnp.maximum(ln - 1, 0) - rb
-        fast = jnp.where(hl, ~need2, (rb >= 0) & (lc >= T + taps - 1))
+        # rb >= 0 required even for looping voices: a not-yet-wrapped loop
+        # (delayed start / first block) has pre-start history that must be
+        # masked to silence by the slow path's (mj >= -rb) mask.
+        fast = jnp.where(hl, ~need2 & (rb >= 0),
+                         (rb >= 0) & (lc >= T + taps - 1))
 
         @pl.when(~fast)
         def _():
@@ -189,7 +193,8 @@ def _kernel(meta_sref,                      # [V*8] int32 scalar prefetch
         sw1 = sw_ref[v, 0]
         lc = jnp.maximum(ln - 1, 0) - rb                    # clamp threshold
         wbase = (v0 + v) * taps
-        fast = jnp.where(hl, ~need2, (rb >= 0) & (lc >= T + taps - 1))
+        fast = jnp.where(hl, ~need2 & (rb >= 0),
+                         (rb >= 0) & (lc >= T + taps - 1))
 
         @pl.when(fast)
         def _():

@@ -20,7 +20,7 @@ from openal_soft_tpu.ops.pallas import resample_unit as ru
 
 
 def _run(L, T, taps, seed=0, loop=None, pos_lo=-40, pos_hi=30000,
-         src_len=31000):
+         src_len=31000, wrapped=None):
     rng = np.random.default_rng(seed)
     bank = tables.weight_bank()
     pool = jnp.asarray(rng.standard_normal(1 << 18).astype(np.float32))
@@ -37,7 +37,8 @@ def _run(L, T, taps, seed=0, loop=None, pos_lo=-40, pos_hi=30000,
     pos_frac = rng.integers(0, 65536, L).astype(np.int32)
     bank_row = rng.choice([0, 1, 2, 3], L).astype(np.int32)
     sf = np.zeros(L, np.float32)
-    args["has_wrapped"] = args["has_loop"]
+    args["has_wrapped"] = (args["has_loop"] if wrapped is None
+                           else jnp.asarray(np.full(L, wrapped, bool)))
 
     w = ru.unit_weights_np(bank, bank_row, sf, pos_frac, taps)
     y_unit = ru.resample_voices_unit(
@@ -72,3 +73,15 @@ def test_bsinc_taps():
 
 def test_uhj_padded_rows():
     _run(32, 1152, 4, seed=4)
+
+
+def test_looping_prestart():
+    # A looping voice that has NOT wrapped yet with pos_int < taps/2-1
+    # (delayed start / first block) must emit leading silence, not read
+    # the pool samples before the buffer offset: the loop fast path needs
+    # the rb >= 0 guard.  The random pool guarantees non-zero data before
+    # every buffer offset.
+    _run(32, 1024, 4, seed=5, loop=True, wrapped=False, pos_lo=-40,
+         pos_hi=2)
+    _run(32, 1024, 24, seed=6, loop=True, wrapped=False, pos_lo=-40,
+         pos_hi=12)
