@@ -34,6 +34,8 @@ AL_MAX_GAIN = 0x100E
 AL_ORIENTATION = 0x100F
 AL_SOURCE_STATE = 0x1010
 AL_INITIAL, AL_PLAYING, AL_PAUSED, AL_STOPPED = 0x1011, 0x1012, 0x1013, 0x1014
+AL_BUFFERS_QUEUED = 0x1015
+AL_BUFFERS_PROCESSED = 0x1016
 AL_REFERENCE_DISTANCE = 0x1020
 AL_ROLLOFF_FACTOR = 0x1021
 AL_CONE_OUTER_GAIN = 0x1022
@@ -42,6 +44,7 @@ AL_SEC_OFFSET = 0x1024
 AL_SAMPLE_OFFSET = 0x1025
 AL_BYTE_OFFSET = 0x1026
 AL_SOURCE_TYPE = 0x1027
+AL_STATIC, AL_STREAMING, AL_UNDETERMINED = 0x1028, 0x1029, 0x1030
 
 AL_FORMAT_MONO8 = 0x1100
 AL_FORMAT_MONO16 = 0x1101
@@ -230,14 +233,20 @@ def alBufferCallbackSOFT(bid: int, fmt: int, freq: int, callback) -> None:
 
 
 def alBufferDataRaw(bid: int, fmt: int, data: bytes, freq: int) -> None:
-    """C-ABI variant: raw little-endian sample bytes (native/alc_shim.cpp)."""
+    """C-ABI variant: raw little-endian sample bytes (native/alc_shim.cpp).
+
+    The original payload is retained on the buffer so alMapBufferSOFT /
+    alBufferSubDataSOFT can expose and splice it (al/buffer.cpp:900-998)."""
     channels, styp = _FORMATS[fmt]
     dtype = {"uint8": np.uint8, "int8": np.int8, "int16": np.int16,
              "int32": np.int32, "float32": np.float32,
              "float64": np.float64, "mulaw": np.uint8, "alaw": np.uint8,
              "ima4": np.uint8, "msadpcm": np.uint8}[styp]
-    _ctx().buffers[bid].set_data(np.frombuffer(data, dtype), channels,
-                                 styp, freq)
+    buf = _ctx().buffers[bid]
+    buf.set_data(np.frombuffer(data, dtype), channels, styp, freq)
+    if getattr(buf, "_mapped", None) is None:
+        buf.orig_bytes = bytearray(data)
+        buf.orig_fmt = fmt
 
 
 # --- sources ------------------------------------------------------------------
@@ -383,6 +392,13 @@ def alGetSourcei(sid: int, param: int) -> int:
     from .source import SourceState
 
     src = _ctx().sources[sid]
+    if param == AL_BUFFERS_QUEUED:
+        return len(src.queue)
+    if param == AL_BUFFERS_PROCESSED:
+        return src.buffers_processed()
+    if param == AL_SOURCE_TYPE:
+        return {"static": AL_STATIC, "streaming": AL_STREAMING,
+                "undetermined": AL_UNDETERMINED}[src.source_type]
     if param == AL_SOURCE_STATE:
         return {SourceState.INITIAL: AL_INITIAL, SourceState.PLAYING: AL_PLAYING,
                 SourceState.PAUSED: AL_PAUSED,
@@ -582,6 +598,7 @@ ALC_EXTENSIONS = 0x1006
 # reference's list at alc/context.cpp:65-109: entries whose feature exists
 # here; grown as the surface grows).
 _AL_EXTENSION_LIST = (
+    "EAX EAX2.0 EAX3.0 EAX4.0 EAX5.0 EAX-RAM "
     "AL_EXT_debug "
     "AL_EXT_ALAW AL_EXT_BFORMAT AL_EXT_DOUBLE AL_EXT_EXPONENT_DISTANCE "
     "AL_EXT_FLOAT32 AL_EXT_IMA4 AL_EXT_LINEAR_DISTANCE AL_EXT_MCFORMATS "
@@ -901,15 +918,12 @@ def alDeleteAuxiliaryEffectSlots(ids) -> None:
 
 
 def alSourceUnqueueBuffers(sid: int, n: int = 1):
-    """Pop processed queue entries (al/source.cpp alSourceUnqueueBuffers)."""
-    src = _ctx().sources[sid]
-    v = src.voice
-    done = v.queue_index if (v is not None and v.source_id == sid) \
-        else len(src.queue)
-    take = min(n, done)
-    popped = [b.id for b in src.queue[:take]]
-    # The queue list itself stays (voice indices reference it); the app
-    # just gets back which buffers finished.
+    """Pop processed queue entries (al/source.cpp alSourceUnqueueBuffers).
+
+    Entries are removed from the source queue and the live voice's cursor
+    rebased, so the standard streaming loop (query AL_BUFFERS_PROCESSED,
+    unqueue, refill, requeue) round-trips the same buffer objects."""
+    popped = [b.id for b in _ctx().sources[sid].unqueue_buffers(n)]
     return popped[0] if n == 1 and popped else popped
 
 
@@ -978,8 +992,13 @@ ALC_ALL_ATTRIBUTES = 0x1003
 ALC_CONNECTED = 0x313
 
 
+ALC_CAPTURE_SAMPLES = 0x312
+
+
 def alcGetIntegerv(device, param: int):
     """Device attribute queries (alcGetIntegerv, alc/alc.cpp:2425-2570)."""
+    if param == ALC_CAPTURE_SAMPLES:
+        return device.available_samples()
     render = getattr(device, "render", device)
     attrs = [
         (ALC_FREQUENCY, render.sample_rate),
@@ -1037,6 +1056,540 @@ def alIsEnabled(capability: int) -> bool:
         return _debug().enabled
     _ctx().set_error(0xA003, f"invalid capability {capability:#x}")
     return False
+
+
+
+
+# ==============================================================================
+# Full get/set matrix + remaining core entry points.  The reference exports
+# every f/3f/fv/i/3i/iv (+ d/i64 SOFT) permutation for sources, the listener
+# and buffers, plus global state queries (al/source.cpp:1510/2086,
+# al/listener.cpp, al/state.cpp); these complete the Python surface the C ABI
+# (native/gen_shim.py) forwards to.
+
+AL_METERS_PER_UNIT = 0x20004
+AL_DOPPLER_VELOCITY = 0xC001
+AL_SPEED_OF_SOUND_ENUM = 0xC003
+AL_DISTANCE_MODEL = 0xD000
+AL_GAIN_LIMIT_SOFT = 0x200E
+AL_NUM_RESAMPLERS_SOFT = 0x1211
+AL_DEFAULT_RESAMPLER_SOFT = 0x1212
+AL_RESAMPLER_NAME_SOFT = 0x1213
+AL_BYTE_LENGTH_SOFT = 0x2009
+AL_SAMPLE_LENGTH_SOFT = 0x200A
+AL_SEC_LENGTH_SOFT = 0x200B
+AL_UNPACK_BLOCK_ALIGNMENT_SOFT = 0x200C
+AL_PACK_BLOCK_ALIGNMENT_SOFT = 0x200D
+AL_AMBISONIC_LAYOUT_SOFT = 0x1997
+AL_AMBISONIC_SCALING_SOFT = 0x1998
+AL_UNPACK_AMBISONIC_ORDER_SOFT = 0x199D
+AL_FUMA_SOFT = 0x0000
+AL_ACN_SOFT = 0x0001
+AL_SN3D_SOFT = 0x0001
+AL_N3D_SOFT = 0x0002
+
+
+# --- source matrix ------------------------------------------------------------
+
+def alSourceiv(sid: int, param: int, values) -> None:
+    vals = [int(v) for v in values]
+    if param == AL_AUXILIARY_SEND_FILTER:
+        alSource3i(sid, param, *vals[:3])
+    else:
+        alSourcei(sid, param, vals[0])
+
+
+def alGetSource3i(sid: int, param: int):
+    if param in _SOURCE_3F:
+        return tuple(int(v) for v in alGetSource3f(sid, param))
+    raise ValueError(f"alGetSource3i param {param:#x}")
+
+
+def alGetSourceiv(sid: int, param: int):
+    if param in _SOURCE_3F:
+        return list(alGetSource3i(sid, param))
+    return [alGetSourcei(sid, param)]
+
+
+def alGetSourcefv(sid: int, param: int):
+    if param in _SOURCE_3F:
+        return list(alGetSource3f(sid, param))
+    return [alGetSourcef(sid, param)]
+
+
+def alSourcedSOFT(sid: int, param: int, value: float) -> None:
+    alSourcef(sid, param, float(value))
+
+
+def alSource3dSOFT(sid: int, param: int, v1, v2, v3) -> None:
+    alSource3f(sid, param, float(v1), float(v2), float(v3))
+
+
+def alSourcedvSOFT(sid: int, param: int, values) -> None:
+    alSourcefv(sid, param, [float(v) for v in values])
+
+
+def alGetSourcedSOFT(sid: int, param: int) -> float:
+    if param == AL_SEC_OFFSET:
+        return float(_ctx().sources[sid].sec_offset())
+    return float(alGetSourcef(sid, param))
+
+
+def alGetSource3dSOFT(sid: int, param: int):
+    return tuple(float(v) for v in alGetSource3f(sid, param))
+
+
+def alGetSourcei64SOFT(sid: int, param: int) -> int:
+    return int(alGetSourcei(sid, param))
+
+
+def alGetSource3i64SOFT(sid: int, param: int):
+    return alGetSource3i(sid, param)
+
+
+# --- listener matrix -----------------------------------------------------------
+
+def alListeneri(param: int, value: int) -> None:
+    # No integer listener properties exist (al/listener.cpp).
+    raise ValueError(f"alListeneri param {param:#x}")
+
+
+def alListener3i(param: int, v1, v2, v3) -> None:
+    if param in (AL_POSITION, AL_VELOCITY):
+        alListener3f(param, float(v1), float(v2), float(v3))
+    else:
+        raise ValueError(f"alListener3i param {param:#x}")
+
+
+def alListeneriv(param: int, values) -> None:
+    alListenerfv(param, [float(v) for v in values])
+
+
+def alGetListenerf(param: int) -> float:
+    lis = _ctx().listener
+    if param == AL_GAIN:
+        return float(lis.gain)
+    if param == AL_METERS_PER_UNIT:
+        return float(getattr(lis, "meters_per_unit", 1.0))
+    raise ValueError(f"alGetListenerf param {param:#x}")
+
+
+def alGetListener3f(param: int):
+    lis = _ctx().listener
+    if param == AL_POSITION:
+        return tuple(float(v) for v in lis.position)
+    if param == AL_VELOCITY:
+        return tuple(float(v) for v in lis.velocity)
+    raise ValueError(f"alGetListener3f param {param:#x}")
+
+
+def alGetListenerfv(param: int):
+    lis = _ctx().listener
+    if param == AL_ORIENTATION:
+        return [float(v) for v in (*lis.orient_at, *lis.orient_up)]
+    if param in (AL_POSITION, AL_VELOCITY):
+        return list(alGetListener3f(param))
+    return [alGetListenerf(param)]
+
+
+def alGetListeneri(param: int) -> int:
+    raise ValueError(f"alGetListeneri param {param:#x}")
+
+
+def alGetListener3i(param: int):
+    return tuple(int(v) for v in alGetListener3f(param))
+
+
+def alGetListeneriv(param: int):
+    return [int(v) for v in alGetListenerfv(param)]
+
+
+# --- buffer matrix --------------------------------------------------------------
+
+def alBufferi(bid: int, param: int, value: int) -> None:
+    buf = _ctx().buffers[bid]
+    if param == AL_UNPACK_BLOCK_ALIGNMENT_SOFT:
+        buf.unpack_align = int(value)
+    elif param == AL_PACK_BLOCK_ALIGNMENT_SOFT:
+        buf.pack_align = int(value)
+    elif param == AL_AMBISONIC_LAYOUT_SOFT:
+        from ..core.devformat import AmbiLayout
+        buf.ambi_layout = {AL_FUMA_SOFT: AmbiLayout.FUMA,
+                           AL_ACN_SOFT: AmbiLayout.ACN}[value]
+    elif param == AL_AMBISONIC_SCALING_SOFT:
+        from ..core.devformat import AmbiScaling
+        buf.ambi_scaling = {AL_FUMA_SOFT: AmbiScaling.FUMA,
+                            AL_SN3D_SOFT: AmbiScaling.SN3D,
+                            AL_N3D_SOFT: AmbiScaling.N3D}[value]
+    elif param == AL_UNPACK_AMBISONIC_ORDER_SOFT:
+        buf.unpack_ambi_order = int(value)
+    else:
+        raise ValueError(f"alBufferi param {param:#x}")
+
+
+def alBufferf(bid: int, param: int, value: float) -> None:
+    _ctx().buffers[bid]  # name check
+    raise ValueError(f"alBufferf param {param:#x}")   # no float buffer props
+
+
+def alBuffer3f(bid: int, param: int, v1, v2, v3) -> None:
+    _ctx().buffers[bid]
+    raise ValueError(f"alBuffer3f param {param:#x}")
+
+
+def alBufferfv(bid: int, param: int, values) -> None:
+    _ctx().buffers[bid]
+    raise ValueError(f"alBufferfv param {param:#x}")
+
+
+def alBuffer3i(bid: int, param: int, v1, v2, v3) -> None:
+    _ctx().buffers[bid]
+    raise ValueError(f"alBuffer3i param {param:#x}")
+
+
+def alGetBufferf(bid: int, param: int) -> float:
+    buf = _ctx().buffers[bid]
+    if param == AL_SEC_LENGTH_SOFT:
+        return buf.sample_len / float(buf.sample_rate) if buf.sample_rate \
+            else 0.0
+    raise ValueError(f"alGetBufferf param {param:#x}")
+
+
+def alGetBuffer3f(bid: int, param: int):
+    _ctx().buffers[bid]
+    raise ValueError(f"alGetBuffer3f param {param:#x}")
+
+
+def alGetBufferfv(bid: int, param: int):
+    return [alGetBufferf(bid, param)]
+
+
+def alGetBufferiv(bid: int, param: int):
+    buf = _ctx().buffers[bid]
+    if param == AL_LOOP_POINTS_SOFT:
+        return [buf.loop_start, buf.loop_end]
+    return [alGetBufferi(bid, param)]
+
+
+def alGetBuffer3i(bid: int, param: int):
+    _ctx().buffers[bid]
+    raise ValueError(f"alGetBuffer3i param {param:#x}")
+
+
+# --- object queries --------------------------------------------------------------
+
+def alIsBuffer(bid: int) -> bool:
+    return bid == 0 or bid in _ctx().buffers
+
+
+def alIsSource(sid: int) -> bool:
+    return sid in _ctx().sources
+
+
+def alIsEffect(eid: int) -> bool:
+    return eid == 0 or eid in _ctx().effects
+
+
+def alIsFilter(fid: int) -> bool:
+    return fid == 0 or fid in _ctx().filters
+
+
+def alIsAuxiliaryEffectSlot(slot_id: int) -> bool:
+    return slot_id in _ctx().aux_slots
+
+
+# --- global state queries (al/state.cpp) ------------------------------------------
+
+def alGetFloat(param: int) -> float:
+    lis = _ctx().listener
+    if param == AL_DOPPLER_FACTOR:
+        return float(lis.doppler_factor)
+    if param == AL_DOPPLER_VELOCITY:
+        return float(lis.doppler_velocity)
+    if param == AL_SPEED_OF_SOUND_ENUM:
+        return float(lis.speed_of_sound)
+    if param == AL_GAIN_LIMIT_SOFT:
+        return 16.0   # GainMixMax (AL_SOFT_gain_clamp_ex, al/state.cpp)
+    raise ValueError(f"alGetFloat param {param:#x}")
+
+
+def alGetInteger(param: int) -> int:
+    from ..core.voice import Resampler
+    if param == AL_DISTANCE_MODEL:
+        inv = {v: k for k, v in _DIST_MODELS.items()}
+        return inv[_ctx().listener.distance_model]
+    if param == AL_NUM_RESAMPLERS_SOFT:
+        return len(Resampler)
+    if param == AL_DEFAULT_RESAMPLER_SOFT:
+        return list(Resampler).index(Resampler.GAUSSIAN)
+    return int(alGetFloat(param))
+
+
+def alGetDouble(param: int) -> float:
+    return float(alGetFloat(param))
+
+
+def alGetBoolean(param: int) -> bool:
+    return bool(alGetInteger(param))
+
+
+def alGetFloatv(param: int):
+    return [alGetFloat(param)]
+
+
+def alGetIntegerv(param: int):
+    return [alGetInteger(param)]
+
+
+def alGetDoublev(param: int):
+    return [alGetDouble(param)]
+
+
+def alGetBooleanv(param: int):
+    return [alGetBoolean(param)]
+
+
+def alDopplerVelocity(value: float) -> None:
+    """Legacy AL 1.0 doppler velocity: multiplies the speed of sound
+    (al/state.cpp; CalcContextParams applies the product)."""
+    if value < 0.0:
+        raise ValueError("doppler velocity must be non-negative")
+    ctx = _ctx()
+    ctx.listener.doppler_velocity = float(value)
+    ctx.listener_dirty()
+
+
+def alGetStringiSOFT(param: int, index: int) -> str:
+    from ..core.voice import Resampler
+    if param == AL_RESAMPLER_NAME_SOFT:
+        names = {"point": "Nearest", "linear": "Linear", "cubic": "Cubic",
+                 "gaussian": "4-point Gaussian", "bsinc12": "11th order Sinc",
+                 "fast_bsinc12": "11th order Sinc (fast)",
+                 "bsinc24": "23rd order Sinc",
+                 "fast_bsinc24": "23rd order Sinc (fast)",
+                 "bsinc48": "47th order Sinc",
+                 "fast_bsinc48": "47th order Sinc (fast)",
+                 "spline": "Cubic Spline"}
+        rs = list(Resampler)[index]
+        return names.get(rs.name.lower(), rs.name.lower())
+    raise ValueError(f"alGetStringiSOFT param {param:#x}")
+
+
+def alGetEnumValue(name: str) -> int:
+    v = globals().get(name)
+    return int(v) if isinstance(v, int) else 0
+
+
+def alcGetEnumValue(device, name: str) -> int:
+    v = globals().get(name)
+    return int(v) if isinstance(v, int) else 0
+
+
+# --- EFX matrix completion ---------------------------------------------------------
+
+def alEffectiv(eid: int, param: int, values) -> None:
+    alEffecti(eid, param, int(values[0]))
+
+
+def alGetEffectfv(eid: int, param: int):
+    eff = _ctx().effects[eid]
+    v = eff.get(_EFX_PARAMS[eff.type][param])
+    return [float(x) for x in v] if isinstance(v, (tuple, list)) \
+        else [float(v)]
+
+
+def alGetEffectiv(eid: int, param: int):
+    return [alGetEffecti(eid, param)]
+
+
+def alFilteriv(fid: int, param: int, values) -> None:
+    alFilteri(fid, param, int(values[0]))
+
+
+def alFilterfv(fid: int, param: int, values) -> None:
+    alFilterf(fid, param, float(values[0]))
+
+
+def alGetFilterf(fid: int, param: int) -> float:
+    flt = _ctx().filters[fid]
+    return float(flt.props[_FILTER_PARAMS[flt.type][param]])
+
+
+def alGetFilteriv(fid: int, param: int):
+    return [alGetFilteri(fid, param)]
+
+
+def alGetFilterfv(fid: int, param: int):
+    return [alGetFilterf(fid, param)]
+
+
+def alAuxiliaryEffectSlotiv(slot_id: int, param: int, values) -> None:
+    alAuxiliaryEffectSloti(slot_id, param, int(values[0]))
+
+
+def alAuxiliaryEffectSlotfv(slot_id: int, param: int, values) -> None:
+    alAuxiliaryEffectSlotf(slot_id, param, float(values[0]))
+
+
+def alGetAuxiliaryEffectSloti(slot_id: int, param: int) -> int:
+    slot = _ctx().aux_slots[slot_id]
+    if param == AL_EFFECTSLOT_EFFECT:
+        return slot.effect.id if getattr(slot, "effect", None) else 0
+    if param == AL_EFFECTSLOT_AUXILIARY_SEND_AUTO:
+        return int(getattr(slot, "aux_send_auto", True))
+    raise ValueError(f"alGetAuxiliaryEffectSloti param {param:#x}")
+
+
+def alGetAuxiliaryEffectSlotf(slot_id: int, param: int) -> float:
+    slot = _ctx().aux_slots[slot_id]
+    if param == AL_EFFECTSLOT_GAIN:
+        return float(slot.gain)
+    raise ValueError(f"alGetAuxiliaryEffectSlotf param {param:#x}")
+
+
+def alGetAuxiliaryEffectSlotiv(slot_id: int, param: int):
+    return [alGetAuxiliaryEffectSloti(slot_id, param)]
+
+
+def alGetAuxiliaryEffectSlotfv(slot_id: int, param: int):
+    return [alGetAuxiliaryEffectSlotf(slot_id, param)]
+
+
+# --- deferred updates (AL_SOFT_deferred_updates) -------------------------------------
+
+def alDeferUpdatesSOFT() -> None:
+    _ctx().deferred = True
+
+
+def alProcessUpdatesSOFT() -> None:
+    ctx = _ctx()
+    ctx.deferred = False
+    ctx.process_updates()
+
+
+def alIsDeferredSOFT() -> bool:
+    return bool(_ctx().deferred)
+
+
+# --- AL_SOFT_direct_context: explicit-context trampoline -----------------------------
+# The reference's *Direct entry points (al/direct_defs.h) take the context
+# as the first argument instead of reading the thread-local; the C shim
+# forwards every Direct variant through here.
+
+def alDirectCall(name: str, context, *args):
+    prev = getattr(_tls, "context", None)
+    _tls.context = context
+    try:
+        return globals()[name](*args)
+    finally:
+        _tls.context = prev
+
+
+# --- AL_SOFT_map_buffer / AL_SOFT_buffer_sub_data (al/buffer.cpp:900-998) -----
+
+def alBufferDataStoreOrig(bid: int, fmt: int, data: bytes) -> None:
+    buf = _ctx().buffers[bid]
+    buf.orig_bytes = bytearray(data)
+    buf.orig_fmt = fmt
+
+
+def alBufferSubDataRawSOFT(bid: int, fmt: int, data: bytes,
+                           offset: int) -> None:
+    """Splice a byte range of the original-format payload and re-decode
+    (alBufferSubDataSOFT, al/buffer.cpp:930-998).  The format must match
+    the stored data's."""
+    buf = _ctx().buffers[bid]
+    orig = getattr(buf, "orig_bytes", None)
+    if orig is None or getattr(buf, "orig_fmt", None) != fmt:
+        raise ValueError("alBufferSubDataSOFT: format mismatch or no data")
+    if offset < 0 or offset + len(data) > len(orig):
+        from .error import ALError, AL_INVALID_VALUE
+        raise ALError(AL_INVALID_VALUE, "subdata range out of bounds")
+    orig[offset:offset + len(data)] = data
+    alBufferDataRaw(bid, fmt, bytes(orig), buf.sample_rate)
+
+
+def alMapBufferSOFT(bid: int, offset: int = 0, length: int = -1):
+    """Return a writable view of the original byte payload.  The mapping is
+    pinned on the buffer object so the C pointer stays valid until
+    alUnmapBufferSOFT re-decodes it."""
+    buf = _ctx().buffers[bid]
+    orig = getattr(buf, "orig_bytes", None)
+    if orig is None:
+        from .error import ALError, AL_INVALID_OPERATION
+        raise ALError(AL_INVALID_OPERATION, "buffer has no mappable data")
+    buf._mapped = orig          # pin
+    return memoryview(orig)[offset:offset + length if length >= 0 else None]
+
+
+def alUnmapBufferSOFT(bid: int) -> None:
+    buf = _ctx().buffers[bid]
+    if getattr(buf, "_mapped", None) is not None:
+        alBufferDataRaw(bid, buf.orig_fmt, bytes(buf.orig_bytes),
+                        buf.sample_rate)
+        buf._mapped = None
+
+
+def alFlushMappedBufferSOFT(bid: int, offset: int = 0,
+                            length: int = -1) -> None:
+    buf = _ctx().buffers[bid]
+    if getattr(buf, "orig_bytes", None) is not None:
+        alBufferDataRaw(bid, buf.orig_fmt, bytes(buf.orig_bytes),
+                        buf.sample_rate)
+
+
+# --- X-RAM (al/eax/x_ram.h): storage-mode bookkeeping stubs -------------------
+
+AL_STORAGE_AUTOMATIC = 0x1552
+AL_STORAGE_HARDWARE = 0x1553
+AL_STORAGE_ACCESSIBLE = 0x1554
+
+
+def alEAXSetBufferMode(buffer_ids, value: int) -> bool:
+    ctx = _ctx()
+    if value not in (AL_STORAGE_AUTOMATIC, AL_STORAGE_HARDWARE,
+                     AL_STORAGE_ACCESSIBLE):
+        raise ValueError(f"invalid X-RAM storage mode {value:#x}")
+    for bid in ([buffer_ids] if isinstance(buffer_ids, int) else buffer_ids):
+        ctx.buffers[bid].x_ram_mode = value
+    return True
+
+
+def alEAXGetBufferMode(bid: int) -> int:
+    return getattr(_ctx().buffers[bid], "x_ram_mode", AL_STORAGE_AUTOMATIC)
+
+
+# --- EAX raw (C ABI) entry points ------------------------------------------------
+
+def EAXSetRaw(guid: str, pid: int, source_id: int, raw: bytes) -> int:
+    from .eax import eax_set_raw
+    return eax_set_raw(_ctx(), guid, pid, source_id, raw)
+
+
+def EAXGetRaw(guid: str, pid: int, source_id: int, size: int):
+    from .eax import eax_get_raw
+    return eax_get_raw(_ctx(), guid, pid, source_id, size)
+
+
+# --- capture by device name (C ABI alcCaptureOpenDevice) -------------------------
+
+def alcCaptureOpenDeviceByName(name: str, frequency: int, fmt: int,
+                               samples: int):
+    """alcCaptureOpenDevice with an OS device name (alc/alc.cpp:3175):
+    routes to the ALSA record backend when available, else a silent
+    synthetic stream (so capture-structured apps still run)."""
+    from ..alc import capture as cap
+
+    channels, styp = _FORMATS[fmt]
+    backend = cap.open_capture_backend(name, frequency, channels)
+    return cap.CaptureDevice(backend, frequency, channels, styp,
+                             buffer_frames=samples)
+
+
+def alcCaptureSamplesRaw(device, samples: int) -> bytes:
+    """Capture read returning interleaved bytes in the capture format."""
+    arr = device.capture_samples(samples)
+    return np.ascontiguousarray(arr).tobytes()
 
 
 _install_entry_shields()

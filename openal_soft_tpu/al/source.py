@@ -37,6 +37,9 @@ class Source:
         self.state = SourceState.INITIAL
         self.voice: Voice | None = None
         self.offset = 0            # requested start offset in frames
+        # AL_SOURCE_TYPE (al/source.cpp mSourceType): static via AL_BUFFER,
+        # streaming via alSourceQueueBuffers, undetermined when empty.
+        self.source_type = "undetermined"
         self._props_dirty = True
 
     # --- property access ---
@@ -81,9 +84,56 @@ class Source:
     def buffer(self, buf: Buffer | None) -> None:
         """AL_BUFFER: set the static buffer (clears the queue)."""
         self.queue = [buf] if buf is not None else []
+        self.source_type = "static" if buf is not None else "undetermined"
+
+    @staticmethod
+    def _buffer_item(b: Buffer) -> BufferItem:
+        return BufferItem(pool_offset=b.pool_offset, sample_len=b.sample_len,
+                          loop_start=b.loop_start, loop_end=b.loop_end,
+                          channels=b.channels,
+                          callback=(b if b.callback is not None else None),
+                          plane_stride=b.plane_stride)
 
     def queue_buffers(self, *bufs: Buffer) -> None:
-        self.queue.extend(bufs)
+        """alSourceQueueBuffers (al/source.cpp:2748): append to the queue,
+        extending the live voice's item list so a playing stream picks the
+        new entries up without a replay."""
+        with self.context.device.lock:
+            self.queue.extend(bufs)
+            self.source_type = "streaming"
+            v = self.voice
+            if v is not None and v.source_id == self.id:
+                v.is_stream = True
+                v.queue.extend(self._buffer_item(b) for b in bufs)
+
+    def buffers_processed(self) -> int:
+        """AL_BUFFERS_PROCESSED (al/source.cpp:1851-1862): queue entries the
+        mixer has fully consumed and not yet unqueued.  Looping sources
+        report 0 (their entries are never 'done')."""
+        if self.state == SourceState.INITIAL:
+            return 0
+        v = self.voice
+        if v is not None and v.source_id == self.id \
+                and self.state in (SourceState.PLAYING, SourceState.PAUSED):
+            if v.looping:
+                return 0
+            return min(v.queue_index, len(self.queue))
+        if self.state == SourceState.STOPPED:
+            return len(self.queue)
+        return 0
+
+    def unqueue_buffers(self, n: int) -> list[Buffer]:
+        """Pop up to n processed queue entries, rebasing the live voice's
+        queue cursor (al/source.cpp alSourceUnqueueBuffers)."""
+        with self.context.device.lock:
+            take = min(n, self.buffers_processed())
+            popped = self.queue[:take]
+            del self.queue[:take]
+            v = self.voice
+            if v is not None and v.source_id == self.id and take:
+                del v.queue[:take]
+                v.queue_index = max(v.queue_index - take, 0)
+            return popped
 
     # --- playback control ---
 
@@ -141,12 +191,8 @@ class Source:
             v.ambi_layout = AmbiLayout.FUMA if is_uhj else buf0.ambi_layout
             v.ambi_scaling = (AmbiScaling.N3D if is_uhj
                               else buf0.ambi_scaling)
-        v.queue = [BufferItem(pool_offset=b.pool_offset, sample_len=b.sample_len,
-                              loop_start=b.loop_start, loop_end=b.loop_end,
-                              channels=b.channels,
-                              callback=(b if b.callback is not None else None),
-                              plane_stride=b.plane_stride)
-                   for b in self.queue]
+        v.queue = [self._buffer_item(b) for b in self.queue]
+        v.is_stream = self.source_type == "streaming"
         v.queue_index = 0
         if (self.state == SourceState.PAUSED and old_voice is not None
                 and self.offset == 0):

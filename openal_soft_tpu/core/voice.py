@@ -133,6 +133,7 @@ class Voice:
         self.position_frac = 0
         self.queue: list[BufferItem] = []
         self.queue_index = 0        # current buffer item
+        self.is_stream = False      # AL_STREAMING source (queue semantics)
         self.looping = False
         self.has_wrapped = False
         self.start_time_ns = 0
@@ -158,7 +159,9 @@ class Voice:
 
     @property
     def is_static(self) -> bool:
-        return len(self.queue) == 1
+        # A streaming source whose queue is momentarily one entry deep (the
+        # app unqueued the rest) keeps whole-queue loop/advance semantics.
+        return not self.is_stream and len(self.queue) == 1
 
     def current_buffer(self) -> BufferItem | None:
         if 0 <= self.queue_index < len(self.queue):

@@ -33,3 +33,50 @@ def test_al_named_surface():
     al.alSourceStop(src)
     al.alcRenderSamplesSOFT(dev, 2048)
     assert al.alGetSourcei(src, al.AL_SOURCE_STATE) == al.AL_STOPPED
+
+
+def test_streaming_queue_roundtrip():
+    """The standard streaming loop: poll AL_BUFFERS_PROCESSED, unqueue,
+    refill, requeue (alSourceUnqueueBuffers removes entries; al/source.cpp).
+    Two successive unqueues must return different buffers, and requeued
+    buffers must reach the live voice."""
+    dev = al.alcLoopbackOpenDeviceSOFT(44100, "stereo", "float32", capacity=8)
+    ctx = al.alcCreateContext(dev)
+    al.alcMakeContextCurrent(ctx)
+
+    n = 2048
+    bufs = [al.alGenBuffers() for _ in range(3)]
+    for i, b in enumerate(bufs):
+        tone = (0.2 * np.sin(2 * np.pi * (220 + 110 * i)
+                             * np.arange(n) / 44100)).astype(np.float32)
+        al.alBufferData(b, al.AL_FORMAT_MONO_FLOAT32, tone, 44100)
+    src = al.alGenSources()
+    al.alSourceQueueBuffers(src, bufs)
+    assert al.alGetSourcei(src, al.AL_BUFFERS_QUEUED) == 3
+    assert al.alGetSourcei(src, al.AL_BUFFERS_PROCESSED) == 0
+    al.alSourcePlay(src)
+
+    # Render through the first two queue entries.
+    al.alcRenderSamplesSOFT(dev, 2 * n + 256)
+    assert al.alGetSourcei(src, al.AL_SOURCE_STATE) == al.AL_PLAYING
+    assert al.alGetSourcei(src, al.AL_BUFFERS_PROCESSED) == 2
+
+    got1 = al.alSourceUnqueueBuffers(src, 1)
+    got2 = al.alSourceUnqueueBuffers(src, 1)
+    assert got1 == bufs[0] and got2 == bufs[1]        # no double-pop
+    assert al.alGetSourcei(src, al.AL_BUFFERS_QUEUED) == 1
+    assert al.alGetSourcei(src, al.AL_BUFFERS_PROCESSED) == 0
+
+    # Refill + requeue both; the live voice keeps streaming through them.
+    for b in (got1, got2):
+        al.alSourceQueueBuffers(src, [b])
+    assert al.alGetSourcei(src, al.AL_BUFFERS_QUEUED) == 3
+    out = al.alcRenderSamplesSOFT(dev, 2 * n)
+    assert np.abs(out).max() > 0.01
+    assert al.alGetSourcei(src, al.AL_BUFFERS_PROCESSED) == 2
+    assert al.alGetSourcei(src, al.AL_SOURCE_STATE) == al.AL_PLAYING
+
+    # Drain to the end: everything processed, source stops.
+    al.alcRenderSamplesSOFT(dev, 2 * n)
+    assert al.alGetSourcei(src, al.AL_SOURCE_STATE) == al.AL_STOPPED
+    assert al.alGetSourcei(src, al.AL_BUFFERS_PROCESSED) == 3
