@@ -1,22 +1,28 @@
 /* C ABI shim: the classic OpenAL export surface over the TPU renderer.
  *
  * Builds libopenal_tpu.so with the reference's entry-point names and C
- * signatures (alc/export_list.h subset), embedding CPython and forwarding
- * to openal_soft_tpu.al.api.  A C/C++ application written against
- * OpenAL Soft's headers links against this instead of libopenal.so and
- * renders through the TPU loopback device.
+ * signatures (alc/export_list.h), embedding CPython and forwarding to
+ * openal_soft_tpu.al.api.  A C/C++ application written against OpenAL
+ * Soft's headers links against this instead of libopenal.so and renders
+ * through the TPU loopback device.
+ *
+ * This file holds the hand-marshalled entries (device/context lifecycle,
+ * render, capture, buffer data, strings, proc addresses, EAX, X-RAM,
+ * callback bridges); the mechanical get/set matrix and every *Direct
+ * variant are emitted into shim_generated.cpp by gen_shim.py.
  *
  * Threading: entry points grab the GIL via PyGILState; the embedded
  * interpreter is initialized lazily on the first device open.
  */
 
-#include <Python.h>
+#include "shim_runtime.h"
 
 #include <dlfcn.h>
 
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
-#include <mutex>
+#include <map>
 #include <string>
 
 using ALCdevice = void;
@@ -27,105 +33,84 @@ using ALint = int;
 using ALsizei = int;
 using ALfloat = float;
 using ALboolean = char;
+using ALchar = char;
 using ALCboolean = char;
 using ALCenum = int;
 using ALCint = int;
 using ALCuint = unsigned int;
 using ALCsizei = int;
 using ALCchar = char;
+using ALvoid = void;
+using ALCvoid = void;
+using ALint64SOFT = long long;
+using ALuint64SOFT = unsigned long long;
+
+using shim::Gil;
+using shim::call;
+using shim::call_long;
+using shim::call_double;
+using shim::call_void;
+using shim::call_string;
+using shim::ensure_init;
+using shim::g_api;
 
 namespace {
 
-std::once_flag g_init_once;
-PyObject *g_api = nullptr;          /* openal_soft_tpu.al.api module */
-PyThreadState *g_main_tstate = nullptr;
-
-void init_python()
-{
-    if(!Py_IsInitialized())
-        Py_InitializeEx(0);
-    PyGILState_STATE gil = PyGILState_Ensure();
-    /* Make the package importable: $OPENAL_TPU_ROOT if set, else the
-     * directory above this shared object (native/ lives in the repo). */
-    {
-        std::string root;
-        if(const char *env = getenv("OPENAL_TPU_ROOT"))
-            root = env;
-        else {
-            Dl_info info;
-            if(dladdr(reinterpret_cast<void*>(&init_python), &info)
-               && info.dli_fname) {
-                root = info.dli_fname;             /* .../native/lib.so */
-                auto slash = root.rfind('/');
-                if(slash != std::string::npos) root.resize(slash);
-                slash = root.rfind('/');
-                if(slash != std::string::npos) root.resize(slash);
-            }
-        }
-        if(!root.empty()) {
-            PyObject *sys_path = PySys_GetObject("path");
-            PyObject *p = PyUnicode_FromString(root.c_str());
-            if(sys_path && p) PyList_Append(sys_path, p);
-            Py_XDECREF(p);
-        }
-    }
-    g_api = PyImport_ImportModule("openal_soft_tpu.al.api");
-    if(!g_api)
-        PyErr_Print();
-    PyGILState_Release(gil);
-    /* Release the GIL from this (main) thread so later entry points can
-     * take it from any thread. */
-    if(PyGILState_Check())
-        g_main_tstate = PyEval_SaveThread();
-}
-
-struct Gil {
-    PyGILState_STATE st;
-    Gil() { st = PyGILState_Ensure(); }
-    ~Gil() { PyGILState_Release(st); }
+/* 16-byte COM GUID -> canonical lowercase string (EAX property sets are
+ * dispatched by GUID string on the Python side, al/eax/api.cpp). */
+struct ShimGuid {
+    uint32_t d1;
+    uint16_t d2, d3;
+    uint8_t d4[8];
 };
 
-PyObject *call(const char *name, PyObject *args)
+void guid_to_str(const ShimGuid *g, char out[40])
 {
-    if(!g_api) { Py_XDECREF(args); return nullptr; }
-    PyObject *fn = PyObject_GetAttrString(g_api, name);
-    if(!fn) { PyErr_Print(); Py_XDECREF(args); return nullptr; }
-    PyObject *ret = PyObject_CallObject(fn, args);
-    Py_DECREF(fn);
-    Py_XDECREF(args);
-    if(!ret) PyErr_Print();
-    return ret;
-}
-
-long call_long(const char *name, PyObject *args, long dflt=0)
-{
-    PyObject *r = call(name, args);
-    long v = dflt;
-    if(r && PyLong_Check(r)) v = PyLong_AsLong(r);
-    Py_XDECREF(r);
-    return v;
-}
-
-void call_void(const char *name, PyObject *args)
-{
-    PyObject *r = call(name, args);
-    Py_XDECREF(r);
+    snprintf(out, 40,
+             "%08x-%04x-%04x-%02x%02x-%02x%02x%02x%02x%02x%02x",
+             g->d1, g->d2, g->d3, g->d4[0], g->d4[1], g->d4[2], g->d4[3],
+             g->d4[4], g->d4[5], g->d4[6], g->d4[7]);
 }
 
 } // namespace
 
 extern "C" {
 
-/* ---- ALC ---- */
+/* ==== ALC device / context lifecycle (alc/alc.cpp) ======================= */
+
+ALCdevice *alcOpenDevice(const ALCchar *devname)
+{
+    ensure_init();
+    Gil gil;
+    PyObject *args = devname ? Py_BuildValue("(s)", devname) : PyTuple_New(0);
+    return static_cast<ALCdevice*>(call("alcOpenDevice", args));
+}
+
+ALCboolean alcCloseDevice(ALCdevice *device)
+{
+    Gil gil;
+    call_void("alcCloseDevice",
+              Py_BuildValue("(O)", static_cast<PyObject*>(device)));
+    Py_XDECREF(static_cast<PyObject*>(device));
+    return 1;
+}
 
 ALCdevice *alcLoopbackOpenDeviceSOFT(const ALCchar * /*devname*/)
 {
-    std::call_once(g_init_once, init_python);
+    ensure_init();
     Gil gil;
     /* Default 48 kHz stereo float; alcCreateContext attrs re-shape in the
      * reference, here the loopback defaults match the common case. */
     PyObject *dev = call("alcLoopbackOpenDeviceSOFT", PyTuple_New(0));
     return static_cast<ALCdevice*>(dev);
+}
+
+ALCboolean alcIsRenderFormatSupportedSOFT(ALCdevice *, ALCsizei freq,
+                                          ALCenum channels, ALCenum type)
+{
+    /* Loopback format negotiation (alc/alc.cpp:3443): the TPU renderer
+     * serves the full ALC_*_SOFT format matrix. */
+    return freq >= 8000 && freq <= 192000 && channels != 0 && type != 0;
 }
 
 ALCcontext *alcCreateContext(ALCdevice *device, const ALCint * /*attrs*/)
@@ -136,6 +121,12 @@ ALCcontext *alcCreateContext(ALCdevice *device, const ALCint * /*attrs*/)
     return static_cast<ALCcontext*>(ctx);
 }
 
+void alcDestroyContext(ALCcontext *context)
+{
+    Gil gil;
+    Py_XDECREF(static_cast<PyObject*>(context));
+}
+
 ALCboolean alcMakeContextCurrent(ALCcontext *context)
 {
     Gil gil;
@@ -144,6 +135,42 @@ ALCboolean alcMakeContextCurrent(ALCcontext *context)
     call_void("alcMakeContextCurrent", args);
     return 1;
 }
+
+ALCboolean alcSetThreadContext(ALCcontext *context)
+{
+    /* ALC_EXT_thread_local_context: the Python current-context store is
+     * already thread-local. */
+    return alcMakeContextCurrent(context);
+}
+
+ALCcontext *alcGetCurrentContext(void)
+{
+    if(!g_api) return nullptr;
+    Gil gil;
+    PyObject *r = call("alcGetCurrentContext", PyTuple_New(0));
+    if(r == Py_None) { Py_DECREF(r); return nullptr; }
+    /* borrowed-style: the context is owned by the app via create */
+    Py_XDECREF(r);
+    return static_cast<ALCcontext*>(r);
+}
+
+ALCcontext *alcGetThreadContext(void)
+{
+    return alcGetCurrentContext();
+}
+
+ALCdevice *alcGetContextsDevice(ALCcontext *context)
+{
+    Gil gil;
+    PyObject *ctx = static_cast<PyObject*>(context);
+    if(!ctx) return nullptr;
+    PyObject *dev = PyObject_GetAttrString(ctx, "device");
+    Py_XDECREF(dev);   /* borrowed-style: owned by the context */
+    return static_cast<ALCdevice*>(dev);
+}
+
+void alcProcessContext(ALCcontext * /*context*/) {}
+void alcSuspendContext(ALCcontext * /*context*/) {}
 
 void alcRenderSamplesSOFT(ALCdevice *device, void *buffer, ALCsizei samples)
 {
@@ -161,362 +188,6 @@ void alcRenderSamplesSOFT(ALCdevice *device, void *buffer, ALCsizei samples)
         PyErr_Print();
     }
     Py_DECREF(out);
-}
-
-ALCboolean alcCloseDevice(ALCdevice *device)
-{
-    Gil gil;
-    Py_XDECREF(static_cast<PyObject*>(device));
-    return 1;
-}
-
-void alcDestroyContext(ALCcontext *context)
-{
-    Gil gil;
-    Py_XDECREF(static_cast<PyObject*>(context));
-}
-
-const ALCchar *alcGetString(ALCdevice *, ALCenum param)
-{
-    static char buf[1024];
-    Gil gil;
-    PyObject *args = Py_BuildValue("(Oi)", Py_None, param);
-    PyObject *r = call("alcGetString", args);
-    buf[0] = 0;
-    if(r && PyUnicode_Check(r)) {
-        const char *s = PyUnicode_AsUTF8(r);
-        if(s) { strncpy(buf, s, sizeof(buf)-1); buf[sizeof(buf)-1] = 0; }
-    }
-    Py_XDECREF(r);
-    return buf;
-}
-
-/* ---- AL buffers ---- */
-
-void alGenBuffers(ALsizei n, ALuint *buffers)
-{
-    Gil gil;
-    for(ALsizei i = 0; i < n; ++i)
-        buffers[i] = static_cast<ALuint>(
-            call_long("alGenBuffers", Py_BuildValue("(i)", 1)));
-}
-
-void alBufferData(ALuint buffer, ALenum format, const void *data,
-                  ALsizei size, ALsizei freq)
-{
-    Gil gil;
-    PyObject *bytes = PyBytes_FromStringAndSize(
-        static_cast<const char*>(data), size);
-    /* api.alBufferData accepts raw bytes via numpy frombuffer on the
-     * Python side (alBufferDataRaw helper). */
-    PyObject *args = Py_BuildValue("(IiNi)", buffer, format, bytes, freq);
-    call_void("alBufferDataRaw", args);
-}
-
-/* ---- AL sources ---- */
-
-void alGenSources(ALsizei n, ALuint *sources)
-{
-    Gil gil;
-    for(ALsizei i = 0; i < n; ++i)
-        sources[i] = static_cast<ALuint>(
-            call_long("alGenSources", Py_BuildValue("(i)", 1)));
-}
-
-void alSourcei(ALuint source, ALenum param, ALint value)
-{ Gil gil; call_void("alSourcei", Py_BuildValue("(Iii)", source, param, value)); }
-
-void alSourcef(ALuint source, ALenum param, ALfloat value)
-{ Gil gil; call_void("alSourcef", Py_BuildValue("(Iif)", source, param, value)); }
-
-void alSource3f(ALuint source, ALenum param, ALfloat v1, ALfloat v2, ALfloat v3)
-{ Gil gil; call_void("alSource3f", Py_BuildValue("(Iifff)", source, param, v1, v2, v3)); }
-
-void alSource3i(ALuint source, ALenum param, ALint v1, ALint v2, ALint v3)
-{ Gil gil; call_void("alSource3i", Py_BuildValue("(Iiiii)", source, param, v1, v2, v3)); }
-
-void alSourcePlay(ALuint source)
-{ Gil gil; call_void("alSourcePlay", Py_BuildValue("(I)", source)); }
-
-void alSourceStop(ALuint source)
-{ Gil gil; call_void("alSourceStop", Py_BuildValue("(I)", source)); }
-
-void alSourcePause(ALuint source)
-{ Gil gil; call_void("alSourcePause", Py_BuildValue("(I)", source)); }
-
-void alSourceRewind(ALuint source)
-{ Gil gil; call_void("alSourceRewind", Py_BuildValue("(I)", source)); }
-
-void alGetSourcei(ALuint source, ALenum param, ALint *value)
-{
-    Gil gil;
-    *value = static_cast<ALint>(
-        call_long("alGetSourcei", Py_BuildValue("(Ii)", source, param)));
-}
-
-/* ---- AL listener / state ---- */
-
-void alListenerf(ALenum param, ALfloat value)
-{ Gil gil; call_void("alListenerf", Py_BuildValue("(if)", param, value)); }
-
-void alListener3f(ALenum param, ALfloat v1, ALfloat v2, ALfloat v3)
-{ Gil gil; call_void("alListener3f", Py_BuildValue("(ifff)", param, v1, v2, v3)); }
-
-void alListenerfv(ALenum param, const ALfloat *values)
-{
-    Gil gil;
-    int n = (param == 0x100F) ? 6 : 3;   /* AL_ORIENTATION : vectors */
-    PyObject *lst = PyList_New(n);
-    for(int i = 0; i < n; ++i)
-        PyList_SET_ITEM(lst, i, PyFloat_FromDouble(values[i]));
-    call_void("alListenerfv", Py_BuildValue("(iN)", param, lst));
-}
-
-void alDistanceModel(ALenum model)
-{ Gil gil; call_void("alDistanceModel", Py_BuildValue("(i)", model)); }
-
-void alDopplerFactor(ALfloat value)
-{ Gil gil; call_void("alDopplerFactor", Py_BuildValue("(f)", value)); }
-
-void alSpeedOfSound(ALfloat value)
-{ Gil gil; call_void("alSpeedOfSound", Py_BuildValue("(f)", value)); }
-
-ALenum alGetError(void)
-{ Gil gil; return static_cast<ALenum>(call_long("alGetError", PyTuple_New(0))); }
-
-const ALCchar *alGetString(ALenum param)
-{
-    static char buf[4096];
-    Gil gil;
-    PyObject *r = call("alGetString", Py_BuildValue("(i)", param));
-    buf[0] = 0;
-    if(r && PyUnicode_Check(r)) {
-        const char *s = PyUnicode_AsUTF8(r);
-        if(s) { strncpy(buf, s, sizeof(buf)-1); buf[sizeof(buf)-1] = 0; }
-    }
-    Py_XDECREF(r);
-    return buf;
-}
-
-ALboolean alIsExtensionPresent(const ALCchar *extname)
-{
-    Gil gil;
-    PyObject *r = call("alIsExtensionPresent", Py_BuildValue("(s)", extname));
-    ALboolean v = (r == Py_True);
-    Py_XDECREF(r);
-    return v;
-}
-
-/* ---- source property matrix (al/source.cpp:1510/2086) ---- */
-
-void alSourcefv(ALuint source, ALenum param, const ALfloat *values)
-{
-    Gil gil;
-    int n = (param == 0x1004 || param == 0x1005 || param == 0x1006) ? 3 : 1;
-    PyObject *lst = PyList_New(n);
-    for(int i = 0; i < n; ++i)
-        PyList_SET_ITEM(lst, i, PyFloat_FromDouble(values[i]));
-    call_void("alSourcefv", Py_BuildValue("(IiN)", source, param, lst));
-}
-
-void alGetSourcef(ALuint source, ALenum param, ALfloat *value)
-{
-    Gil gil;
-    PyObject *r = call("alGetSourcef", Py_BuildValue("(Ii)", source, param));
-    *value = (r && PyFloat_Check(r)) ? (float)PyFloat_AsDouble(r) : 0.0f;
-    Py_XDECREF(r);
-}
-
-void alGetSource3f(ALuint source, ALenum param, ALfloat *v1, ALfloat *v2,
-                   ALfloat *v3)
-{
-    Gil gil;
-    PyObject *r = call("alGetSource3f", Py_BuildValue("(Ii)", source, param));
-    *v1 = *v2 = *v3 = 0.0f;
-    if(r && PyTuple_Check(r) && PyTuple_GET_SIZE(r) == 3) {
-        *v1 = (float)PyFloat_AsDouble(PyTuple_GET_ITEM(r, 0));
-        *v2 = (float)PyFloat_AsDouble(PyTuple_GET_ITEM(r, 1));
-        *v3 = (float)PyFloat_AsDouble(PyTuple_GET_ITEM(r, 2));
-    }
-    Py_XDECREF(r);
-}
-
-void alGetSourcefv(ALuint source, ALenum param, ALfloat *values)
-{
-    if(param == 0x1004 || param == 0x1005 || param == 0x1006) {
-        alGetSource3f(source, param, values, values + 1, values + 2);
-        return;
-    }
-    alGetSourcef(source, param, values);
-}
-
-void alSourcePlayv(ALsizei n, const ALuint *sources)
-{ for(ALsizei i = 0; i < n; ++i) alSourcePlay(sources[i]); }
-
-void alSourceStopv(ALsizei n, const ALuint *sources)
-{ for(ALsizei i = 0; i < n; ++i) alSourceStop(sources[i]); }
-
-void alSourcePausev(ALsizei n, const ALuint *sources)
-{ for(ALsizei i = 0; i < n; ++i) alSourcePause(sources[i]); }
-
-void alSourceRewindv(ALsizei n, const ALuint *sources)
-{ for(ALsizei i = 0; i < n; ++i) alSourceRewind(sources[i]); }
-
-/* ---- buffer queueing (al/source.cpp alSourceQueueBuffers) ---- */
-
-void alSourceQueueBuffers(ALuint source, ALsizei nb, const ALuint *buffers)
-{
-    Gil gil;
-    PyObject *lst = PyList_New(nb);
-    for(ALsizei i = 0; i < nb; ++i)
-        PyList_SET_ITEM(lst, i, PyLong_FromUnsignedLong(buffers[i]));
-    call_void("alSourceQueueBuffers", Py_BuildValue("(IN)", source, lst));
-}
-
-void alSourceUnqueueBuffers(ALuint source, ALsizei nb, ALuint *buffers)
-{
-    Gil gil;
-    PyObject *r = call("alSourceUnqueueBuffers",
-                       Py_BuildValue("(Ii)", source, (int)nb));
-    if(r && PyList_Check(r)) {
-        Py_ssize_t got = PyList_GET_SIZE(r);
-        for(Py_ssize_t i = 0; i < got && i < nb; ++i)
-            buffers[i] = (ALuint)PyLong_AsUnsignedLong(PyList_GET_ITEM(r, i));
-    } else if(r && PyLong_Check(r) && nb >= 1) {
-        buffers[0] = (ALuint)PyLong_AsUnsignedLong(r);
-    }
-    Py_XDECREF(r);
-}
-
-void alDeleteSources(ALsizei n, const ALuint *sources)
-{
-    Gil gil;
-    PyObject *lst = PyList_New(n);
-    for(ALsizei i = 0; i < n; ++i)
-        PyList_SET_ITEM(lst, i, PyLong_FromUnsignedLong(sources[i]));
-    call_void("alDeleteSources", Py_BuildValue("(N)", lst));
-}
-
-void alDeleteBuffers(ALsizei n, const ALuint *buffers)
-{
-    Gil gil;
-    PyObject *lst = PyList_New(n);
-    for(ALsizei i = 0; i < n; ++i)
-        PyList_SET_ITEM(lst, i, PyLong_FromUnsignedLong(buffers[i]));
-    call_void("alDeleteBuffers", Py_BuildValue("(N)", lst));
-}
-
-void alGetBufferi(ALuint buffer, ALenum param, ALint *value)
-{
-    Gil gil;
-    *value = (ALint)call_long("alGetBufferi",
-                              Py_BuildValue("(Ii)", buffer, param));
-}
-
-void alBufferiv(ALuint buffer, ALenum param, const ALint *values)
-{
-    Gil gil;
-    int n = (param == 0x2015) ? 2 : 1;   /* AL_LOOP_POINTS_SOFT */
-    PyObject *lst = PyList_New(n);
-    for(int i = 0; i < n; ++i)
-        PyList_SET_ITEM(lst, i, PyLong_FromLong(values[i]));
-    call_void("alBufferiv", Py_BuildValue("(IiN)", buffer, param, lst));
-}
-
-/* ---- EFX objects (alGenEffects, alEffect*, alGenFilters; efx.h) ---- */
-
-void alGenEffects(ALsizei n, ALuint *effects)
-{
-    Gil gil;
-    for(ALsizei i = 0; i < n; ++i)
-        effects[i] = (ALuint)call_long("alGenEffects", Py_BuildValue("(i)", 1));
-}
-
-void alDeleteEffects(ALsizei n, const ALuint *effects)
-{
-    Gil gil;
-    PyObject *lst = PyList_New(n);
-    for(ALsizei i = 0; i < n; ++i)
-        PyList_SET_ITEM(lst, i, PyLong_FromUnsignedLong(effects[i]));
-    call_void("alDeleteEffects", Py_BuildValue("(N)", lst));
-}
-
-void alEffecti(ALuint effect, ALenum param, ALint value)
-{ Gil gil; call_void("alEffecti", Py_BuildValue("(Iii)", effect, param, value)); }
-
-void alEffectf(ALuint effect, ALenum param, ALfloat value)
-{ Gil gil; call_void("alEffectf", Py_BuildValue("(Iif)", effect, param, value)); }
-
-void alEffectfv(ALuint effect, ALenum param, const ALfloat *values)
-{
-    Gil gil;
-    int n = (param == 0x000B || param == 0x000E) ? 3 : 1;  /* reverb pans */
-    PyObject *lst = PyList_New(n);
-    for(int i = 0; i < n; ++i)
-        PyList_SET_ITEM(lst, i, PyFloat_FromDouble(values[i]));
-    call_void("alEffectfv", Py_BuildValue("(IiN)", effect, param, lst));
-}
-
-void alGetEffecti(ALuint effect, ALenum param, ALint *value)
-{
-    Gil gil;
-    *value = (ALint)call_long("alGetEffecti",
-                              Py_BuildValue("(Ii)", effect, param));
-}
-
-void alGenFilters(ALsizei n, ALuint *filters)
-{
-    Gil gil;
-    for(ALsizei i = 0; i < n; ++i)
-        filters[i] = (ALuint)call_long("alGenFilters", Py_BuildValue("(i)", 1));
-}
-
-void alDeleteFilters(ALsizei n, const ALuint *filters)
-{
-    Gil gil;
-    PyObject *lst = PyList_New(n);
-    for(ALsizei i = 0; i < n; ++i)
-        PyList_SET_ITEM(lst, i, PyLong_FromUnsignedLong(filters[i]));
-    call_void("alDeleteFilters", Py_BuildValue("(N)", lst));
-}
-
-void alFilteri(ALuint filter, ALenum param, ALint value)
-{ Gil gil; call_void("alFilteri", Py_BuildValue("(Iii)", filter, param, value)); }
-
-void alFilterf(ALuint filter, ALenum param, ALfloat value)
-{ Gil gil; call_void("alFilterf", Py_BuildValue("(Iif)", filter, param, value)); }
-
-void alGenAuxiliaryEffectSlots(ALsizei n, ALuint *slots)
-{
-    Gil gil;
-    for(ALsizei i = 0; i < n; ++i)
-        slots[i] = (ALuint)call_long("alGenAuxiliaryEffectSlots",
-                                     Py_BuildValue("(i)", 1));
-}
-
-void alDeleteAuxiliaryEffectSlots(ALsizei n, const ALuint *slots)
-{
-    Gil gil;
-    PyObject *lst = PyList_New(n);
-    for(ALsizei i = 0; i < n; ++i)
-        PyList_SET_ITEM(lst, i, PyLong_FromUnsignedLong(slots[i]));
-    call_void("alDeleteAuxiliaryEffectSlots", Py_BuildValue("(N)", lst));
-}
-
-void alAuxiliaryEffectSloti(ALuint slot, ALenum param, ALint value)
-{ Gil gil; call_void("alAuxiliaryEffectSloti", Py_BuildValue("(Iii)", slot, param, value)); }
-
-void alAuxiliaryEffectSlotf(ALuint slot, ALenum param, ALfloat value)
-{ Gil gil; call_void("alAuxiliaryEffectSlotf", Py_BuildValue("(Iif)", slot, param, value)); }
-
-/* ---- ALC device lifecycle (alc/alc.cpp:2995/3522/1922/3658) ---- */
-
-ALCdevice *alcOpenDevice(const ALCchar *devname)
-{
-    std::call_once(g_init_once, init_python);
-    Gil gil;
-    PyObject *args = devname ? Py_BuildValue("(s)", devname) : PyTuple_New(0);
-    return static_cast<ALCdevice*>(call("alcOpenDevice", args));
 }
 
 void alcDevicePauseSOFT(ALCdevice *device)
@@ -551,20 +222,106 @@ ALCboolean alcReopenDeviceSOFT(ALCdevice *device, const ALCchar *devname,
     return 1;
 }
 
+/* ==== ALC capture (alc/alc.cpp:3175-3360) ================================ */
+
+ALCdevice *alcCaptureOpenDevice(const ALCchar *devname, ALCuint frequency,
+                                ALCenum format, ALCsizei buffersize)
+{
+    ensure_init();
+    Gil gil;
+    PyObject *args = Py_BuildValue("(sIii)", devname ? devname : "",
+                                   frequency, static_cast<int>(format),
+                                   static_cast<int>(buffersize));
+    return static_cast<ALCdevice*>(call("alcCaptureOpenDeviceByName", args));
+}
+
+ALCboolean alcCaptureCloseDevice(ALCdevice *device)
+{
+    Gil gil;
+    call_void("alcCaptureCloseDevice",
+              Py_BuildValue("(O)", static_cast<PyObject*>(device)));
+    Py_XDECREF(static_cast<PyObject*>(device));
+    return 1;
+}
+
+void alcCaptureStart(ALCdevice *device)
+{
+    Gil gil;
+    call_void("alcCaptureStart",
+              Py_BuildValue("(O)", static_cast<PyObject*>(device)));
+}
+
+void alcCaptureStop(ALCdevice *device)
+{
+    Gil gil;
+    call_void("alcCaptureStop",
+              Py_BuildValue("(O)", static_cast<PyObject*>(device)));
+}
+
+void alcCaptureSamples(ALCdevice *device, ALCvoid *buffer, ALCsizei samples)
+{
+    Gil gil;
+    PyObject *args = Py_BuildValue("(Oi)", static_cast<PyObject*>(device),
+                                   static_cast<int>(samples));
+    PyObject *out = call("alcCaptureSamplesRaw", args);
+    if(!out) return;
+    Py_buffer view;
+    if(PyObject_GetBuffer(out, &view, PyBUF_CONTIG_RO) == 0) {
+        memcpy(buffer, view.buf, static_cast<size_t>(view.len));
+        PyBuffer_Release(&view);
+    } else {
+        PyErr_Print();
+    }
+    Py_DECREF(out);
+}
+
+/* ==== ALC queries ========================================================= */
+
+const ALCchar *alcGetString(ALCdevice *device, ALCenum param)
+{
+    ensure_init();
+    Gil gil;
+    PyObject *args = Py_BuildValue("(Oi)",
+        device ? static_cast<PyObject*>(device) : Py_None,
+        static_cast<int>(param));
+    return call_string("alcGetString", args);
+}
+
 void alcGetIntegerv(ALCdevice *device, ALCenum param, ALCsizei size,
                     ALCint *values)
 {
     Gil gil;
     PyObject *args = Py_BuildValue("(Oi)",
-        device ? static_cast<PyObject*>(device) : Py_None, param);
+        device ? static_cast<PyObject*>(device) : Py_None,
+        static_cast<int>(param));
     PyObject *r = call("alcGetIntegerv", args);
     if(!r) return;
     if(PyLong_Check(r) && size >= 1)
-        values[0] = (ALCint)PyLong_AsLong(r);
+        values[0] = static_cast<ALCint>(PyLong_AsLong(r));
     else if(PyList_Check(r)) {
         Py_ssize_t got = PyList_GET_SIZE(r);
         for(Py_ssize_t i = 0; i < got && i < size; ++i)
-            values[i] = (ALCint)PyLong_AsLong(PyList_GET_ITEM(r, i));
+            values[i] = static_cast<ALCint>(
+                PyLong_AsLong(PyList_GET_ITEM(r, i)));
+    }
+    Py_XDECREF(r);
+}
+
+void alcGetInteger64vSOFT(ALCdevice *device, ALCenum param, ALCsizei size,
+                          ALint64SOFT *values)
+{
+    Gil gil;
+    PyObject *args = Py_BuildValue("(Oi)",
+        device ? static_cast<PyObject*>(device) : Py_None,
+        static_cast<int>(param));
+    PyObject *r = call("alcGetInteger64vSOFT", args);
+    if(!r) return;
+    if(PyLong_Check(r) && size >= 1)
+        values[0] = PyLong_AsLongLong(r);
+    else if(PyTuple_Check(r)) {
+        Py_ssize_t got = PyTuple_GET_SIZE(r);
+        for(Py_ssize_t i = 0; i < got && i < size; ++i)
+            values[i] = PyLong_AsLongLong(PyTuple_GET_ITEM(r, i));
     }
     Py_XDECREF(r);
 }
@@ -572,6 +329,413 @@ void alcGetIntegerv(ALCdevice *device, ALCenum param, ALCsizei size,
 ALCenum alcGetError(ALCdevice * /*device*/)
 {
     return 0;   /* ALC errors surface as AL errors in this build */
+}
+
+ALCboolean alcIsExtensionPresent(ALCdevice *device, const ALCchar *extname)
+{
+    ensure_init();
+    Gil gil;
+    PyObject *args = Py_BuildValue("(Os)",
+        device ? static_cast<PyObject*>(device) : Py_None, extname);
+    return static_cast<ALCboolean>(call_long("alcIsExtensionPresent", args));
+}
+
+ALCenum alcGetEnumValue(ALCdevice *device, const ALCchar *enumname)
+{
+    ensure_init();
+    Gil gil;
+    PyObject *args = Py_BuildValue("(Os)",
+        device ? static_cast<PyObject*>(device) : Py_None, enumname);
+    return static_cast<ALCenum>(call_long("alcGetEnumValue", args));
+}
+
+/* Proc-address lookups resolve against this shared object itself. */
+void *alcGetProcAddress(ALCdevice *, const ALCchar *funcname);
+void *alGetProcAddress(const ALchar *funcname);
+
+/* ==== AL queries ========================================================== */
+
+ALenum alGetError(void)
+{
+    if(!g_api) return 0;
+    Gil gil;
+    return static_cast<ALenum>(call_long("alGetError", PyTuple_New(0)));
+}
+
+const ALchar *alGetString(ALenum param)
+{
+    ensure_init();
+    Gil gil;
+    return call_string("alGetString",
+                       Py_BuildValue("(i)", static_cast<int>(param)));
+}
+
+ALboolean alIsExtensionPresent(const ALchar *extname)
+{
+    ensure_init();
+    Gil gil;
+    return static_cast<ALboolean>(
+        call_long("alIsExtensionPresent", Py_BuildValue("(s)", extname)));
+}
+
+ALenum alGetEnumValue(const ALchar *ename)
+{
+    ensure_init();
+    Gil gil;
+    return static_cast<ALenum>(
+        call_long("alGetEnumValue", Py_BuildValue("(s)", ename)));
+}
+
+/* ==== buffer data ========================================================= */
+
+void alBufferData(ALuint buffer, ALenum format, const ALvoid *data,
+                  ALsizei size, ALsizei freq)
+{
+    Gil gil;
+    PyObject *bytes = PyBytes_FromStringAndSize(
+        static_cast<const char*>(data), size);
+    /* api.alBufferDataRaw decodes the byte payload per the AL format. */
+    PyObject *args = Py_BuildValue("(IiNi)", buffer,
+                                   static_cast<int>(format), bytes,
+                                   static_cast<int>(freq));
+    call_void("alBufferDataRaw", args);
+}
+
+void alBufferSubDataSOFT(ALuint buffer, ALenum format, const ALvoid *data,
+                         ALsizei offset, ALsizei length)
+{
+    Gil gil;
+    PyObject *bytes = PyBytes_FromStringAndSize(
+        static_cast<const char*>(data), length);
+    call_void("alBufferSubDataRawSOFT",
+              Py_BuildValue("(IiNi)", buffer, static_cast<int>(format),
+                            bytes, static_cast<int>(offset)));
+}
+
+void *alMapBufferSOFT(ALuint buffer, ALsizei offset, ALsizei length,
+                      ALenum /*access*/)
+{
+    Gil gil;
+    PyObject *r = call("alMapBufferSOFT",
+                       Py_BuildValue("(Iii)", buffer,
+                                     static_cast<int>(offset),
+                                     static_cast<int>(length)));
+    if(!r) return nullptr;
+    Py_buffer view;
+    void *ptr = nullptr;
+    if(PyObject_GetBuffer(r, &view, PyBUF_CONTIG) == 0) {
+        ptr = view.buf;            /* backed by the buffer's host storage */
+        PyBuffer_Release(&view);
+    }
+    Py_DECREF(r);
+    return ptr;
+}
+
+void alUnmapBufferSOFT(ALuint buffer)
+{
+    Gil gil;
+    call_void("alUnmapBufferSOFT", Py_BuildValue("(I)", buffer));
+}
+
+void alFlushMappedBufferSOFT(ALuint buffer, ALsizei offset, ALsizei length)
+{
+    Gil gil;
+    call_void("alFlushMappedBufferSOFT",
+              Py_BuildValue("(Iii)", buffer, static_cast<int>(offset),
+                            static_cast<int>(length)));
+}
+
+/* ==== X-RAM (al/eax/x_ram.h) ============================================== */
+
+ALboolean alEAXSetBufferMode(ALsizei n, const ALuint *buffers, ALint value)
+{
+    Gil gil;
+    PyObject *lst = PyList_New(n);
+    for(ALsizei i = 0; i < n; ++i)
+        PyList_SET_ITEM(lst, i, PyLong_FromUnsignedLong(buffers[i]));
+    return static_cast<ALboolean>(call_long(
+        "alEAXSetBufferMode", Py_BuildValue("(Ni)", lst,
+                                            static_cast<int>(value)), 1));
+}
+
+ALenum alEAXGetBufferMode(ALuint buffer, ALint *reserved)
+{
+    if(reserved) *reserved = 0;
+    Gil gil;
+    return static_cast<ALenum>(call_long(
+        "alEAXGetBufferMode", Py_BuildValue("(I)", buffer)));
+}
+
+/* ==== EAXSet / EAXGet (al/eax/api.cpp ABI) ================================ */
+
+ALenum EAXSet(const void *property_set_id, ALuint property_id,
+              ALuint source, ALvoid *value, ALuint size)
+{
+    Gil gil;
+    char guid[40];
+    guid_to_str(static_cast<const ShimGuid*>(property_set_id), guid);
+    PyObject *bytes = PyBytes_FromStringAndSize(
+        static_cast<const char*>(value), size);
+    return static_cast<ALenum>(call_long(
+        "EAXSetRaw", Py_BuildValue("(sIIN)", guid, property_id, source,
+                                   bytes)));
+}
+
+ALenum EAXGet(const void *property_set_id, ALuint property_id,
+              ALuint source, ALvoid *value, ALuint size)
+{
+    Gil gil;
+    char guid[40];
+    guid_to_str(static_cast<const ShimGuid*>(property_set_id), guid);
+    PyObject *r = call("EAXGetRaw",
+                       Py_BuildValue("(sIII)", guid, property_id, source,
+                                     size));
+    ALenum err = 0;
+    if(r && PyBytes_Check(r)) {
+        Py_ssize_t n = PyBytes_GET_SIZE(r);
+        if(static_cast<ALuint>(n) > size) n = size;
+        memcpy(value, PyBytes_AS_STRING(r), static_cast<size_t>(n));
+    } else {
+        err = 0xA002;   /* AL_INVALID_ENUM */
+    }
+    Py_XDECREF(r);
+    return err;
+}
+
+/* EAXSetDirect/EAXGetDirect route through the same raw marshalling with an
+ * explicit context (al/direct_defs.h EAX rows). */
+ALenum EAXSetDirect(ALCcontext *context, const void *psid, ALuint pid,
+                    ALuint source, ALvoid *value, ALuint size)
+{
+    Gil gil;
+    char guid[40];
+    guid_to_str(static_cast<const ShimGuid*>(psid), guid);
+    PyObject *bytes = PyBytes_FromStringAndSize(
+        static_cast<const char*>(value), size);
+    return static_cast<ALenum>(call_long(
+        "alDirectCall", Py_BuildValue("(sOsIIN)", "EAXSetRaw",
+                                      static_cast<PyObject*>(context), guid,
+                                      pid, source, bytes)));
+}
+
+ALenum EAXGetDirect(ALCcontext *context, const void *psid, ALuint pid,
+                    ALuint source, ALvoid *value, ALuint size)
+{
+    Gil gil;
+    char guid[40];
+    guid_to_str(static_cast<const ShimGuid*>(psid), guid);
+    PyObject *r = call("alDirectCall",
+                       Py_BuildValue("(sOsIII)", "EAXGetRaw",
+                                     static_cast<PyObject*>(context), guid,
+                                     pid, source, size));
+    ALenum err = 0;
+    if(r && PyBytes_Check(r)) {
+        Py_ssize_t n = PyBytes_GET_SIZE(r);
+        if(static_cast<ALuint>(n) > size) n = size;
+        memcpy(value, PyBytes_AS_STRING(r), static_cast<size_t>(n));
+    } else {
+        err = 0xA002;
+    }
+    Py_XDECREF(r);
+    return err;
+}
+
+/* ==== callback bridges (AL_SOFT_events / AL_EXT_debug) ==================== */
+
+namespace {
+
+using EventProc = void (*)(ALenum, ALuint, ALuint, ALsizei, const ALchar*,
+                           void*);
+using DebugProc = void (*)(ALenum, ALenum, ALuint, ALenum, ALsizei,
+                           const ALchar*, void*);
+
+struct CbState {
+    EventProc event_fn = nullptr;
+    void *event_user = nullptr;
+    DebugProc debug_fn = nullptr;
+    void *debug_user = nullptr;
+};
+CbState g_cbs;
+
+/* Python event kinds -> AL_EVENT_TYPE_* enums. */
+int event_enum(const char *kind)
+{
+    if(!strcmp(kind, "buffer_completed")) return 0x19A4;
+    if(!strcmp(kind, "source_state")) return 0x19A5;
+    if(!strcmp(kind, "disconnected")) return 0x19A6;
+    return 0;
+}
+
+PyObject *event_tramp(PyObject *, PyObject *args)
+{
+    const char *kind;
+    unsigned object;
+    PyObject *param;
+    if(!PyArg_ParseTuple(args, "sIO", &kind, &object, &param))
+        return nullptr;
+    EventProc fn = g_cbs.event_fn;
+    void *user = g_cbs.event_user;
+    if(fn) {
+        char msg[256] = "";
+        unsigned prm = 0;
+        if(PyLong_Check(param))
+            prm = static_cast<unsigned>(PyLong_AsUnsignedLongMask(param));
+        else if(PyUnicode_Check(param)) {
+            const char *s = PyUnicode_AsUTF8(param);
+            if(s) { strncpy(msg, s, sizeof(msg)-1); msg[sizeof(msg)-1] = 0; }
+        }
+        Py_BEGIN_ALLOW_THREADS
+        fn(event_enum(kind), object, prm,
+           static_cast<ALsizei>(strlen(msg)), msg, user);
+        Py_END_ALLOW_THREADS
+    }
+    Py_RETURN_NONE;
+}
+
+PyObject *debug_tramp(PyObject *, PyObject *args)
+{
+    int source, mtype, severity;
+    unsigned mid;
+    const char *message;
+    if(!PyArg_ParseTuple(args, "iiIis", &source, &mtype, &mid, &severity,
+                         &message))
+        return nullptr;
+    DebugProc fn = g_cbs.debug_fn;
+    void *user = g_cbs.debug_user;
+    if(fn) {
+        Py_BEGIN_ALLOW_THREADS
+        fn(source, mtype, mid, severity,
+           static_cast<ALsizei>(strlen(message)), message, user);
+        Py_END_ALLOW_THREADS
+    }
+    Py_RETURN_NONE;
+}
+
+PyMethodDef g_event_tramp_def = {"_shim_event_tramp", event_tramp,
+                                 METH_VARARGS, nullptr};
+PyMethodDef g_debug_tramp_def = {"_shim_debug_tramp", debug_tramp,
+                                 METH_VARARGS, nullptr};
+
+} // namespace
+
+void alEventControlSOFT(ALsizei count, const ALenum *types, ALboolean enable)
+{
+    Gil gil;
+    PyObject *lst = PyList_New(count);
+    for(ALsizei i = 0; i < count; ++i)
+        PyList_SET_ITEM(lst, i, PyLong_FromLong(types[i]));
+    call_void("alEventControlSOFT",
+              Py_BuildValue("(Ni)", lst, enable ? 1 : 0));
+}
+
+void alEventCallbackSOFT(EventProc callback, void *userParam)
+{
+    Gil gil;
+    g_cbs.event_fn = callback;
+    g_cbs.event_user = userParam;
+    PyObject *cb = callback
+        ? PyCFunction_New(&g_event_tramp_def, nullptr) : Py_NewRef(Py_None);
+    call_void("alEventCallbackSOFT", Py_BuildValue("(N)", cb));
+}
+
+void alDebugMessageCallbackEXT(DebugProc callback, void *userParam)
+{
+    Gil gil;
+    g_cbs.debug_fn = callback;
+    g_cbs.debug_user = userParam;
+    PyObject *cb = callback
+        ? PyCFunction_New(&g_debug_tramp_def, nullptr) : Py_NewRef(Py_None);
+    call_void("alDebugMessageCallbackEXT", Py_BuildValue("(N)", cb));
+}
+
+void alDebugMessageInsertEXT(ALenum source, ALenum type, ALuint id,
+                             ALenum severity, ALsizei length,
+                             const ALchar *message)
+{
+    Gil gil;
+    call_void("alDebugMessageInsertEXT",
+              Py_BuildValue("(iiIis#)", static_cast<int>(source),
+                            static_cast<int>(type), id,
+                            static_cast<int>(severity), message,
+                            static_cast<Py_ssize_t>(
+                                length >= 0 ? length
+                                            : static_cast<ALsizei>(
+                                                strlen(message)))));
+}
+
+void alDebugMessageControlEXT(ALenum source, ALenum type, ALenum severity,
+                              ALsizei count, const ALuint *ids,
+                              ALboolean enable)
+{
+    Gil gil;
+    PyObject *lst = PyList_New(count);
+    for(ALsizei i = 0; i < count; ++i)
+        PyList_SET_ITEM(lst, i, PyLong_FromUnsignedLong(ids[i]));
+    call_void("alDebugMessageControlEXT",
+              Py_BuildValue("(iiiNi)", static_cast<int>(source),
+                            static_cast<int>(type),
+                            static_cast<int>(severity), lst,
+                            enable ? 1 : 0));
+}
+
+void alPushDebugGroupEXT(ALenum source, ALuint id, ALsizei length,
+                         const ALchar *message)
+{
+    Gil gil;
+    call_void("alPushDebugGroupEXT",
+              Py_BuildValue("(iIs#)", static_cast<int>(source), id, message,
+                            static_cast<Py_ssize_t>(
+                                length >= 0 ? length
+                                            : static_cast<ALsizei>(
+                                                strlen(message)))));
+}
+
+void alObjectLabelEXT(ALenum identifier, ALuint name, ALsizei length,
+                      const ALchar *label)
+{
+    Gil gil;
+    const char *kind = identifier == 0x19D4 ? "buffer" : "source";
+    call_void("alObjectLabelEXT",
+              Py_BuildValue("(sIs#)", kind, name, label,
+                            static_cast<Py_ssize_t>(
+                                length >= 0 ? length
+                                            : static_cast<ALsizei>(
+                                                strlen(label)))));
+}
+
+void alGetObjectLabelEXT(ALenum identifier, ALuint name, ALsizei bufSize,
+                         ALsizei *length, ALchar *label)
+{
+    Gil gil;
+    const char *kind = identifier == 0x19D4 ? "buffer" : "source";
+    PyObject *r = call("alGetObjectLabelEXT",
+                       Py_BuildValue("(sI)", kind, name));
+    ALsizei n = 0;
+    if(r && PyUnicode_Check(r)) {
+        const char *s = PyUnicode_AsUTF8(r);
+        if(s && label && bufSize > 0) {
+            strncpy(label, s, static_cast<size_t>(bufSize) - 1);
+            label[bufSize - 1] = 0;
+            n = static_cast<ALsizei>(strlen(label));
+        }
+    }
+    if(length) *length = n;
+    Py_XDECREF(r);
+}
+
+/* ==== proc-address resolution ============================================= */
+
+void *alcGetProcAddress(ALCdevice *, const ALCchar *funcname)
+{
+    if(!funcname) return nullptr;
+    void *self = dlopen(nullptr, RTLD_NOW);
+    (void)self;
+    return dlsym(RTLD_DEFAULT, funcname);
+}
+
+void *alGetProcAddress(const ALchar *funcname)
+{
+    return alcGetProcAddress(nullptr, funcname);
 }
 
 } /* extern "C" */

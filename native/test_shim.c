@@ -61,6 +61,28 @@ extern void alGenFilters(int n, unsigned *filters);
 extern void alFilteri(unsigned filter, int param, int value);
 extern void alFilterf(unsigned filter, int param, float value);
 extern int alGetError(void);
+extern void *alcCaptureOpenDevice(const char *name, unsigned freq, int fmt,
+                                  int samples);
+extern char alcCaptureCloseDevice(void *dev);
+extern void alcCaptureStart(void *dev);
+extern void alcCaptureStop(void *dev);
+extern void alcCaptureSamples(void *dev, void *buf, int samples);
+extern void alcGetIntegerv(void *dev, int param, int size, int *values);
+extern int EAXSet(const void *psid, unsigned pid, unsigned src, void *value,
+                  unsigned size);
+extern int EAXGet(const void *psid, unsigned pid, unsigned src, void *value,
+                  unsigned size);
+extern char alEAXSetBufferMode(int n, const unsigned *buffers, int value);
+extern int alEAXGetBufferMode(unsigned buffer, int *reserved);
+extern void alSourcefDirect(void *ctx, unsigned src, int param, float v);
+extern void alGetSourcefDirect(void *ctx, unsigned src, int param, float *v);
+extern void alGetListenerf(int param, float *v);
+extern char alIsSource(unsigned src);
+extern int alGetInteger(int param);
+extern const char *alGetStringiSOFT(int param, int index);
+extern void alDebugMessageInsertEXT(int source, int type, unsigned id,
+                                    int severity, int length,
+                                    const char *msg);
 
 #define RATE 48000
 #define FRAMES 4096
@@ -156,6 +178,73 @@ int main(void)
     }
     alDeleteSources(1, &ssrc);
     alDeleteBuffers(3, sbufs);
-    printf("PEAK=%.6f STREAM_PEAK=%.6f\n", peak, speak);
+
+    /* --- scenario 3: getters, Direct variants, X-RAM ------------------- */
+    alSourcefDirect(ctx, src, AL_GAIN, 0.5f);
+    float g = -1.0f;
+    alGetSourcefDirect(ctx, src, AL_GAIN, &g);
+    if(g < 0.49f || g > 0.51f) {
+        fprintf(stderr, "Direct gain roundtrip %f\n", g);
+        return 1;
+    }
+    alGetListenerf(AL_GAIN, &g);
+    if(g != 1.0f) { fprintf(stderr, "listener gain %f\n", g); return 1; }
+    if(!alIsSource(src)) { fprintf(stderr, "alIsSource\n"); return 1; }
+    if(alGetInteger(0xD000) == 0) {     /* AL_DISTANCE_MODEL */
+        fprintf(stderr, "distance model\n");
+        return 1;
+    }
+    const char *rs = alGetStringiSOFT(0x1213, 0);   /* RESAMPLER_NAME */
+    if(!rs || !rs[0]) { fprintf(stderr, "resampler name\n"); return 1; }
+    if(!alEAXSetBufferMode(1, &buf, 0x1552)) {      /* STORAGE_AUTOMATIC */
+        fprintf(stderr, "xram set\n");
+        return 1;
+    }
+    if(alEAXGetBufferMode(buf, NULL) != 0x1552) {
+        fprintf(stderr, "xram get\n");
+        return 1;
+    }
+    alDebugMessageInsertEXT(0x19B7, 0x19BB, 1, 0x19BE, -1, "shim-test");
+
+    /* --- scenario 4: EAXSet/EAXGet (EAX 2.0 listener over the GUID ABI) */
+    struct { unsigned d1; unsigned short d2, d3; unsigned char d4[8]; }
+        eax2_listener = { 0x0306a6a8, 0xb224, 0x11d2,
+                          {0x99, 0xe5, 0x00, 0x00, 0xe8, 0xd8, 0xc7, 0x22} };
+    unsigned env = 10;                      /* EAX_ENVIRONMENT_HANGAR */
+    if(EAXSet(&eax2_listener, 11, 0, &env, sizeof(env)) != 0) {
+        fprintf(stderr, "EAXSet environment\n");
+        return 1;
+    }
+    float decay = 0.0f;
+    if(EAXGet(&eax2_listener, 5, 0, &decay, sizeof(decay)) != 0
+       || decay < 2.0f) {                   /* hangar decay ~10 s */
+        fprintf(stderr, "EAXGet decay %f\n", decay);
+        return 1;
+    }
+
+    /* --- scenario 5: capture ------------------------------------------- */
+    void *cap = alcCaptureOpenDevice(NULL, 44100, 0x1101, 4096);
+    if(!cap) { fprintf(stderr, "capture open\n"); return 1; }
+    alcCaptureStart(cap);
+    int avail = 0;
+    for(int spin = 0; spin < 1000000 && avail < 256; ++spin)
+        alcGetIntegerv(cap, 0x312, 1, &avail);   /* ALC_CAPTURE_SAMPLES */
+    short cbuf[256];
+    memset(cbuf, 0x55, sizeof(cbuf));
+    int got = avail < 256 ? avail : 256;
+    alcCaptureSamples(cap, cbuf, got);
+    int cap_ok = 1;
+    if(getenv("OPENAL_TPU_ALSA_LIB")) {
+        /* fake libasound serves a frame-index ramp */
+        for(int i = 0; i < got; ++i)
+            if(cbuf[i] != (short)i) { cap_ok = 0; break; }
+        if(got < 64) cap_ok = 0;
+    }
+    if(!cap_ok) { fprintf(stderr, "capture data\n"); return 1; }
+    alcCaptureStop(cap);
+    alcCaptureCloseDevice(cap);
+
+    printf("PEAK=%.6f STREAM_PEAK=%.6f CAPTURED=%d EAX_DECAY=%.3f\n",
+           peak, speak, got, decay);
     return 0;
 }
