@@ -160,3 +160,103 @@ class AlsaBackend:
         if self._pcm:
             self._lib.snd_pcm_close(self._pcm)
             self._pcm = ct.c_void_p()
+
+
+# --- capture (record) side ----------------------------------------------------
+
+_SND_PCM_STREAM_CAPTURE = 1
+
+
+def _bind_capture_syms(lib) -> bool:
+    """Bind the record-side entry points (alsa.cpp:900-1100 uses the same
+    set); returns False if the library lacks them."""
+    try:
+        lib.snd_pcm_readi.restype = ct.c_long
+        lib.snd_pcm_readi.argtypes = [ct.c_void_p, ct.c_void_p, ct.c_ulong]
+        lib.snd_pcm_avail_update.restype = ct.c_long
+        lib.snd_pcm_avail_update.argtypes = [ct.c_void_p]
+        lib.snd_pcm_start.restype = ct.c_int
+        lib.snd_pcm_start.argtypes = [ct.c_void_p]
+        lib.snd_pcm_drop.restype = ct.c_int
+        lib.snd_pcm_drop.argtypes = [ct.c_void_p]
+    except AttributeError:
+        return False
+    return True
+
+
+def capture_available() -> bool:
+    lib = _load_lib()
+    return lib is not None and _bind_capture_syms(lib)
+
+
+class AlsaCaptureBackend:
+    """snd_pcm_readi record loop (alc/backends/alsa.cpp:900-1100 analog).
+
+    Pull-model: ``read()`` drains whatever the driver has accumulated
+    (snd_pcm_avail_update bounds the readi), in the capture device's
+    native int16 interleaved format; the CaptureDevice's converters adapt
+    rate/type/channels from there.
+    """
+
+    def __init__(self, pcm_name: str, rate: int,
+                 channels: str = "mono") -> None:
+        from ..core.devformat import DevFmtType
+
+        self._lib = _load_lib()
+        if self._lib is None or not _bind_capture_syms(self._lib):
+            raise RuntimeError("libasound capture unavailable")
+        self.native_rate = int(rate)
+        self.native_type = DevFmtType.SHORT     # S16_LE wire format
+        self.native_channels = channels
+        self._n_ch = {"mono": 1, "stereo": 2}[channels]
+        self._pcm = ct.c_void_p()
+        rc = self._lib.snd_pcm_open(ct.byref(self._pcm), pcm_name.encode(),
+                                    _SND_PCM_STREAM_CAPTURE, 0)
+        if rc < 0:
+            raise RuntimeError(f"snd_pcm_open(capture) failed ({rc})")
+        buffer_us = 100_000                      # 100 ms driver buffer
+        rc = self._lib.snd_pcm_set_params(
+            self._pcm, _SND_PCM_FORMAT[self.native_type],
+            _SND_PCM_ACCESS_RW_INTERLEAVED, self._n_ch, self.native_rate,
+            1, buffer_us)
+        if rc < 0:
+            self._lib.snd_pcm_close(self._pcm)
+            raise RuntimeError(f"snd_pcm_set_params(capture) failed ({rc})")
+        self._started = False
+
+    def start(self) -> None:
+        if not self._started:
+            self._lib.snd_pcm_start(self._pcm)
+            self._started = True
+
+    def stop(self) -> None:
+        if self._started:
+            self._lib.snd_pcm_drop(self._pcm)
+            self._started = False
+
+    def available(self) -> int:
+        if not self._started:
+            return 0
+        n = self._lib.snd_pcm_avail_update(self._pcm)
+        return max(int(n), 0)
+
+    def read(self, max_frames: int) -> np.ndarray:
+        n = min(max_frames, self.available())
+        if n <= 0:
+            return np.zeros((0, self._n_ch), np.int16)
+        buf = np.empty((n, self._n_ch), np.int16)
+        got = self._lib.snd_pcm_readi(
+            self._pcm, buf.ctypes.data_as(ct.c_void_p), n)
+        if got < 0:
+            rc = self._lib.snd_pcm_recover(self._pcm, int(got), 1)
+            if rc < 0:
+                log.err("ALSA capture read failed (%d)", got)
+                return np.zeros((0, self._n_ch), np.int16)
+            return np.zeros((0, self._n_ch), np.int16)
+        return buf[:int(got)]
+
+    def close(self) -> None:
+        self.stop()
+        if self._pcm:
+            self._lib.snd_pcm_close(self._pcm)
+            self._pcm = ct.c_void_p()

@@ -188,11 +188,16 @@ class CaptureDevice:
                     f"{backend.native_channels} -> {channels}")
             src_type = DevFmtType.FLOAT
         self._converter = None
-        if (src_type != self.fmt_type
-                or backend.native_rate != self.sample_rate):
+        self._type_only: DevFmtType | None = None
+        if backend.native_rate != self.sample_rate:
             self._converter = SampleConverter(
                 src_type, self.fmt_type, self.n_channels,
                 backend.native_rate, self.sample_rate, resampler)
+        elif src_type != self.fmt_type:
+            # Same rate: pure type conversion, no resampler delay (the
+            # reference only builds a SampleConverter when rates differ,
+            # alc.cpp:3240-3260).
+            self._type_only = src_type
 
         self._ring = np.zeros((buffer_frames, self.n_channels),
                               _NP_OF[self.fmt_type])
@@ -226,6 +231,8 @@ class CaptureDevice:
 
     def close(self) -> None:
         self.running = False
+        if hasattr(self.backend, "close"):
+            self.backend.close()
 
     # --- internals ---
 
@@ -255,6 +262,11 @@ class CaptureDevice:
                 want = self._converter.available_out(x.shape[0])
                 y, consumed = self._converter.convert(x, max(want, 1))
                 assert consumed == x.shape[0]
+            elif self._type_only is not None:
+                from ..core.converter import store_samples
+                flat = load_samples(x.reshape(-1), self._type_only)
+                y = np.asarray(store_samples(flat, self.fmt_type)
+                               ).reshape(-1, self.n_channels)
             elif x.dtype != self._ring.dtype:
                 y = np.asarray(
                     load_samples(x.reshape(-1), self.backend.native_type)
@@ -268,3 +280,32 @@ class CaptureDevice:
                 # Ring overrun: oldest-in-ring kept, surplus dropped (the
                 # reference drops what the ring can't take).
                 return
+
+
+def open_capture_backend(name: str | None, frequency: int,
+                         channels: str = "mono"):
+    """Route a capture device name to a backend (alc.cpp:3175 BackendList
+    walk, capture side).
+
+    - a path to a .wav file -> that file, wall-clock paced (a deterministic
+      "microphone" for tests and offline runs);
+    - otherwise ALSA record on the named PCM (default: the alsa/capture
+      config key or "default") when libasound is present;
+    - else a silent paced stream so capture-structured apps still run.
+    """
+    from . import alsa as alsa_mod
+    from . import config as alconf
+
+    if name and name.endswith(".wav"):
+        return WavCaptureBackend(name, paced=True, loop=True)
+    if alsa_mod.capture_available():
+        pcm = (name or alconf.config_value_str("alsa", "capture")
+               or "default")
+        try:
+            return alsa_mod.AlsaCaptureBackend(pcm, frequency, channels)
+        except RuntimeError:
+            pass
+    # Silent fallback: zeros at the requested rate, wall-clock paced.
+    zeros = np.zeros((frequency, _N_CHANNELS[channels]), np.float32)
+    return ArrayCaptureBackend(zeros, frequency, "float32", channels,
+                               paced=True, loop=True)

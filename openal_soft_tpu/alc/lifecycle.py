@@ -181,7 +181,7 @@ class PlaybackDevice:
 
     # --- backend ------------------------------------------------------------
 
-    def _open_backend(self) -> None:
+    def _open_backend(self, announce: bool = True) -> None:
         from . import alsa
         from .backends import NullBackend, WaveBackend
 
@@ -197,10 +197,15 @@ class PlaybackDevice:
         else:
             self.backend = NullBackend(self.render)
         log.trace("opened playback device: %s", self.name)
-        from . import events as sysevents
-        sysevents.emit_event(sysevents.ALC_EVENT_TYPE_DEVICE_ADDED_SOFT,
-                             sysevents.ALC_PLAYBACK_DEVICE_SOFT, self,
-                             self.name)
+        if announce:
+            # Hot-plug-style added event: first open and backend changes
+            # only — NOT every alcResetDeviceSOFT (the reference emits
+            # device events from the backend enumeration watcher, not
+            # resets; alc/events.cpp).
+            from . import events as sysevents
+            sysevents.emit_event(sysevents.ALC_EVENT_TYPE_DEVICE_ADDED_SOFT,
+                                 sysevents.ALC_PLAYBACK_DEVICE_SOFT, self,
+                                 self.name)
 
     # --- contexts -----------------------------------------------------------
 
@@ -254,7 +259,8 @@ class PlaybackDevice:
         old = self.render
         self.render = self._build_render()
         _migrate_render_state(old, self.render)
-        self._open_backend()
+        # Same backend, renegotiated format: no device added/removed events.
+        self._open_backend(announce=False)
         if was_playing and not self.paused:
             self.start()
 
@@ -267,13 +273,19 @@ class PlaybackDevice:
             self.state = DeviceState.CONFIGURED
         if hasattr(self.backend, "close"):
             self.backend.close()
+        changed = new_name != self.name
+        if changed:
+            from . import events as sysevents
+            sysevents.emit_event(
+                sysevents.ALC_EVENT_TYPE_DEVICE_REMOVED_SOFT,
+                sysevents.ALC_PLAYBACK_DEVICE_SOFT, self, self.name)
         self.name = new_name
         if attrs:
             self._attrs.update(_parse_attrs(attrs))
             old = self.render
             self.render = self._build_render()
             _migrate_render_state(old, self.render)
-        self._open_backend()
+        self._open_backend(announce=changed)
         if was_playing and not self.paused:
             self.start()
 
