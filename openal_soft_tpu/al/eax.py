@@ -73,6 +73,24 @@ EAX2_ENVIRONMENTS = (
     "city", "mountains", "quarry", "plain", "parkinglot", "sewerpipe",
     "underwater", "drugged", "dizzy", "psychotic")
 
+# flEnvironmentSize per environment (EAX2REVERB_PRESETS, al/eax/api.cpp:834;
+# default 7.5 = EAX2LISTENER_DEFAULTENVIRONMENTSIZE).
+_ENV_SIZES = (7.5, 1.4, 1.9, 1.4, 2.5, 11.6, 21.6, 19.6, 14.6, 36.2, 50.3,
+              1.9, 1.8, 13.5, 7.5, 38.0, 7.5, 100.0, 17.5, 42.5, 8.3, 1.7,
+              1.8, 1.9, 1.8, 1.0)
+
+# EAX2LISTENERFLAGS_* bits (api.h:151-157)
+LF_DECAYTIMESCALE = 0x01
+LF_REFLECTIONSSCALE = 0x02
+LF_REFLECTIONSDELAYSCALE = 0x04
+LF_REVERBSCALE = 0x08
+LF_REVERBDELAYSCALE = 0x10
+LF_DECAYHFLIMIT = 0x20
+LISTENER_DEFAULT_FLAGS = 0x3F      # EAX2LISTENER_DEFAULTFLAGS (api.h:211)
+# drugged/dizzy/psychotic drop DECAYHFLIMIT (api.cpp preset table).
+_ENV_FLAGS = tuple(0x1F if e in ("drugged", "dizzy", "psychotic") else 0x3F
+                   for e in EAX2_ENVIRONMENTS)
+
 
 def level_mb_to_gain(mb: float) -> float:
     """al/eax/utils.h level_mb_to_gain."""
@@ -126,6 +144,8 @@ class EaxContext:
         self.source_props: dict[int, EaxSourceProps] = {}
         self.primary_fx_slot = 0
         self.listener_env = 0
+        self.listener_size = 7.5       # EAX2LISTENER_DEFAULTENVIRONMENTSIZE
+        self.listener_flags = LISTENER_DEFAULT_FLAGS
         self.deferred: list = []
         # Slot 0 defaults to the generic-environment reverb
         # (fx_slots.cpp: slot 0 loads EAX_REVERB_EFFECT on init).
@@ -150,11 +170,53 @@ class EaxContext:
     def _set_environment(self, env: int) -> None:
         from . import presets
         self.listener_env = int(env)
+        self.listener_size = _ENV_SIZES[env]
+        self.listener_flags = _ENV_FLAGS[env]
         props = dict(presets.REVERB_PRESETS[EAX2_ENVIRONMENTS[env]])
         slot = self.slots[0]
         for k, v in props.items():
             slot._eax_effect.set(k, v)
         slot.set_effect(slot._eax_effect)
+
+    def _set_environment_size(self, size: float) -> None:
+        """EnvironmentSizeDeferrer2 (al/effects/reverb.cpp:829-884): scale
+        the committed reverb decay/reflection/reverb values by the size
+        ratio per the listener flags, clamped to the EAXREVERB ranges."""
+        size = float(size)
+        if size == self.listener_size or self.listener_size <= 0.0:
+            self.listener_size = size
+            return
+        scale = size / self.listener_size
+        self.listener_size = size
+        eff = self._reverb_effect(0)
+        fl = self.listener_flags
+        clamp = lambda v, lo, hi: min(max(v, lo), hi)
+        if fl & LF_DECAYTIMESCALE:
+            eff.set("decay_time",
+                    clamp(eff.get("decay_time") * scale, 0.1, 20.0))
+        if (fl & LF_REFLECTIONSSCALE) and (fl & LF_REFLECTIONSDELAYSCALE):
+            # lReflections -= gain_to_level_mb(scale)  <=>  gain /= scale
+            eff.set("reflections_gain",
+                    clamp(eff.get("reflections_gain") / scale, 0.0, 3.16))
+        if fl & LF_REFLECTIONSDELAYSCALE:
+            eff.set("reflections_delay",
+                    clamp(eff.get("reflections_delay") * scale, 0.0, 0.3))
+        if fl & LF_REVERBSCALE:
+            # lReverb -= log10(scale) * (2000 | 3000) mB
+            exp = 1.0 if fl & LF_DECAYTIMESCALE else 1.5
+            eff.set("late_reverb_gain",
+                    clamp(eff.get("late_reverb_gain") / (scale ** exp),
+                          0.0, 10.0))
+        if fl & LF_REVERBDELAYSCALE:
+            eff.set("late_reverb_delay",
+                    clamp(eff.get("late_reverb_delay") * scale, 0.0, 0.1))
+        self.slots[0].set_effect(eff)
+
+    def _set_listener_flags(self, flags: int) -> None:
+        self.listener_flags = int(flags) & 0x3F
+        eff = self._reverb_effect(0)
+        eff.set("decay_hf_limit", bool(self.listener_flags & LF_DECAYHFLIMIT))
+        self.slots[0].set_effect(eff)
 
     def _reverb_effect(self, idx: int = 0):
         slot = self._ensure_slot(idx)
@@ -172,11 +234,23 @@ class EaxContext:
         if pid == L20_ENVIRONMENT:
             self._set_environment(int(value))
             return
+        if pid == L20_ENVIRONMENTSIZE:
+            self._set_environment_size(value)
+            return
+        if pid == L20_FLAGS:
+            self._set_listener_flags(value)
+            return
         if pid == L20_ALL:
+            # Whole-struct set (AllValidator2 + direct assign): every field
+            # is absolute — environment size does NOT rescale here.
             self._set_environment(int(value["environment"]))
+            if "environment_size" in value:
+                self.listener_size = float(value["environment_size"])
+            if "flags" in value:
+                self._set_listener_flags(value["flags"])
             for key in ("room", "room_hf", "room_rolloff", "decay_time",
                         "decay_hf_ratio", "reflections", "reflections_delay",
-                        "reverb", "reverb_delay", "environment_size",
+                        "reverb", "reverb_delay",
                         "environment_diffusion", "air_absorption_hf"):
                 if key in value:
                     self.set_listener(_L20_BY_NAME[key], value[key])
@@ -189,6 +263,10 @@ class EaxContext:
         eff = self._reverb_effect(0)
         if pid == L20_ENVIRONMENT:
             return self.listener_env
+        if pid == L20_ENVIRONMENTSIZE:
+            return self.listener_size
+        if pid == L20_FLAGS:
+            return self.listener_flags
         name, conv = _L20_PROPS[pid]
         v = eff.get(name)
         return gain_to_level_mb(v) if conv else v
@@ -317,18 +395,12 @@ def eax_set(ctx, property_set: str, pid: int, source_id: int, value) -> None:
         st.set_listener(pid, value)
     elif ps in (DSPROPSETID_EAX20_BufferProperties,
                 DSPROPSETID_EAX30_BufferProperties,
-                EAXPROPERTYID_EAX40_Source):
+                EAXPROPERTYID_EAX40_Source, EAXPROPERTYID_EAX50_Source):
         st.set_source(source_id, pid, value)
     elif ps in _FXSLOT_GUIDS:
-        idx = _FXSLOT_GUIDS[ps]
-        # EAXFXSLOT_LOADEFFECT == 1 (api.h EAXFXSLOT_* enum)
-        if pid == 1 and isinstance(value, str):
-            st._load_effect(idx, _EFFECT_GUIDS.get(value.lower(), "null"))
-        elif pid == 1:
-            raise ValueError("slot load takes an effect GUID string")
-    elif ps == EAXPROPERTYID_EAX40_Context:
-        if pid == 2:                      # EAXCONTEXT_PRIMARYFXSLOTID
-            st.primary_fx_slot = _FXSLOT_GUIDS.get(str(value).lower(), 0)
+        fxslot_set(st, _FXSLOT_GUIDS[ps], pid, value)
+    elif ps in (EAXPROPERTYID_EAX40_Context, EAXPROPERTYID_EAX50_Context):
+        context_set(st, pid, value)
     else:
         raise ValueError(f"unknown EAX property set {property_set}")
 
@@ -342,6 +414,590 @@ def eax_get(ctx, property_set: str, pid: int, source_id: int):
         return st.get_listener(pid)
     if ps in (DSPROPSETID_EAX20_BufferProperties,
               DSPROPSETID_EAX30_BufferProperties,
-              EAXPROPERTYID_EAX40_Source):
+              EAXPROPERTYID_EAX40_Source, EAXPROPERTYID_EAX50_Source):
         return st.get_source(source_id, pid)
+    if ps in _FXSLOT_GUIDS:
+        return fxslot_get(st, _FXSLOT_GUIDS[ps], pid)
+    if ps in (EAXPROPERTYID_EAX40_Context, EAXPROPERTYID_EAX50_Context):
+        return context_get(st, pid)
     raise ValueError(f"unknown EAX property set {property_set}")
+
+
+# --- raw (byte-level) EAXSet/EAXGet marshalling --------------------------------
+# The C ABI hands EAXSet/EAXGet opaque value buffers (al/eax/call.h EaxCall
+# wraps them); these tables give each EAX 2.0 property its wire type so the
+# shim can decode to the structured values eax_set/eax_get exchange.
+
+import struct as _struct
+
+# EAX20LISTENERPROPERTIES field order + codes (al/eax/api.h:164-180)
+_L20_STRUCT = "<llffflflfLfffL"
+_L20_FIELDS = ("room", "room_hf", "room_rolloff", "decay_time",
+               "decay_hf_ratio", "reflections", "reflections_delay",
+               "reverb", "reverb_delay", "environment", "environment_size",
+               "environment_diffusion", "air_absorption_hf", "flags")
+_L20_TYPES = {
+    L20_ROOM: "l", L20_ROOMHF: "l", L20_ROOMROLLOFF: "f",
+    L20_DECAYTIME: "f", L20_DECAYHFRATIO: "f", L20_REFLECTIONS: "l",
+    L20_REFLECTIONSDELAY: "f", L20_REVERB: "l", L20_REVERBDELAY: "f",
+    L20_ENVIRONMENT: "L", L20_ENVIRONMENTSIZE: "f",
+    L20_ENVIRONMENTDIFFUSION: "f", L20_AIRABSORPTIONHF: "f",
+    L20_FLAGS: "L",
+}
+
+# EAX20BUFFERPROPERTIES field order + codes (al/eax/api.h:239-254)
+_B20_STRUCT = "<llllflflfflfL"
+_B20_FIELDS = ("direct", "direct_hf", "room", "room_hf", "room_rolloff",
+               "obstruction", "obstruction_lf_ratio", "occlusion",
+               "occlusion_lf_ratio", "occlusion_room_ratio",
+               "outside_volume_hf", "air_absorption_factor", "flags")
+_B20_TYPES = {
+    B20_DIRECT: "l", B20_DIRECTHF: "l", B20_ROOM: "l", B20_ROOMHF: "l",
+    B20_ROOMROLLOFF: "f", B20_OBSTRUCTION: "l",
+    B20_OBSTRUCTIONLFRATIO: "f", B20_OCCLUSION: "l",
+    B20_OCCLUSIONLFRATIO: "f", B20_OCCLUSIONROOMRATIO: "f",
+    B20_OUTSIDEVOLUMEHF: "l", B20_AIRABSORPTIONFACTOR: "f",
+    B20_FLAGS: "L",
+}
+
+_SCALAR = {"l": ("<l", int), "L": ("<L", int), "f": ("<f", float)}
+
+
+def _bytes_to_guid(raw: bytes) -> str:
+    d1, d2, d3 = _struct.unpack_from("<IHH", raw, 0)
+    d4 = raw[8:16]
+    return (f"{d1:08x}-{d2:04x}-{d3:04x}-{d4[0]:02x}{d4[1]:02x}-"
+            + "".join(f"{b:02x}" for b in d4[2:]))
+
+
+def eax_set_raw(ctx, guid: str, pid: int, source_id: int,
+                raw: bytes) -> int:
+    """EAXSet with an opaque value buffer: decode per property, dispatch.
+
+    Returns an AL error code (0 on success), matching the C ABI contract
+    (al/eax/api.cpp EAXSet returns ALenum)."""
+    ps = guid.lower()
+    p = pid & ~EAX_DEFER
+    try:
+        if ps in (DSPROPSETID_EAX20_ListenerProperties,
+                  DSPROPSETID_EAX30_ListenerProperties):
+            if p == L20_ALL:
+                vals = _struct.unpack_from(_L20_STRUCT, raw, 0)
+                value = dict(zip(_L20_FIELDS, vals))
+            elif p == L20_NONE:
+                return 0
+            else:
+                fmt, conv = _SCALAR[_L20_TYPES[p]]
+                value = conv(_struct.unpack_from(fmt, raw, 0)[0])
+            eax_set(ctx, ps, p, source_id, value)
+            return 0
+        if ps in (DSPROPSETID_EAX20_BufferProperties,
+                  DSPROPSETID_EAX30_BufferProperties,
+                  EAXPROPERTYID_EAX40_Source):
+            if p == B20_ALL:
+                vals = _struct.unpack_from(_B20_STRUCT, raw, 0)
+                value = dict(zip(_B20_FIELDS, vals))
+            elif p == B20_NONE:
+                return 0
+            else:
+                fmt, conv = _SCALAR[_B20_TYPES[p]]
+                value = conv(_struct.unpack_from(fmt, raw, 0)[0])
+            eax_set(ctx, ps, p, source_id, value)
+            return 0
+        if ps == EAXPROPERTYID_EAX50_Source:
+            return eax_set_raw(ctx, DSPROPSETID_EAX20_BufferProperties, p,
+                               source_id, raw)
+        r = eax_set_raw_v45(ctx, ps, p, source_id, raw)
+        if r is not None:
+            return r
+    except (KeyError, ValueError, _struct.error):
+        return 0xA002       # AL_INVALID_ENUM
+    return 0xA002
+
+
+def _coerce(fmt: str, index: int, v):
+    code = [c for c in fmt if c in "lLf"][index]
+    if code == "f":
+        return float(v)
+    return int(v)
+
+
+def eax_get_raw(ctx, guid: str, pid: int, source_id: int,
+                size: int) -> bytes | None:
+    """EAXGet: encode the property value back into its wire format."""
+    ps = guid.lower()
+    p = pid & ~EAX_DEFER
+    try:
+        if ps in (DSPROPSETID_EAX20_ListenerProperties,
+                  DSPROPSETID_EAX30_ListenerProperties):
+            if p == L20_ALL:
+                st = get_eax(ctx)
+                d = {f: eax_get(ctx, ps, _L20_BY_NAME[f], source_id)
+                     for f in _L20_FIELDS if f in _L20_BY_NAME}
+                d["environment"] = st.listener_env
+                d["environment_size"] = st.listener_size
+                d["flags"] = st.listener_flags
+                packed = _struct.pack(
+                    _L20_STRUCT, *[_coerce(_L20_STRUCT, i, d[f])
+                                   for i, f in enumerate(_L20_FIELDS)])
+                return packed[:size]
+            fmt, conv = _SCALAR[_L20_TYPES[p]]
+            v = eax_get(ctx, ps, p, source_id)
+            return _struct.pack(fmt, conv(v))[:size]
+        if ps in (DSPROPSETID_EAX20_BufferProperties,
+                  DSPROPSETID_EAX30_BufferProperties,
+                  EAXPROPERTYID_EAX40_Source):
+            if p == B20_ALL:
+                vals = [eax_get(ctx, ps, pidk, source_id)
+                        for pidk in (B20_DIRECT, B20_DIRECTHF, B20_ROOM,
+                                     B20_ROOMHF, B20_ROOMROLLOFF,
+                                     B20_OBSTRUCTION, B20_OBSTRUCTIONLFRATIO,
+                                     B20_OCCLUSION, B20_OCCLUSIONLFRATIO,
+                                     B20_OCCLUSIONROOMRATIO,
+                                     B20_OUTSIDEVOLUMEHF,
+                                     B20_AIRABSORPTIONFACTOR, B20_FLAGS)]
+                return _struct.pack(_B20_STRUCT, *[
+                    _coerce(_B20_STRUCT, i, v) for i, v in enumerate(vals)
+                ])[:size]
+            fmt, conv = _SCALAR[_B20_TYPES[p]]
+            v = eax_get(ctx, ps, p, source_id)
+            return _struct.pack(fmt, conv(v))[:size]
+        if ps == EAXPROPERTYID_EAX50_Source:
+            return eax_get_raw(ctx, DSPROPSETID_EAX20_BufferProperties, p,
+                               source_id, size)
+        return eax_get_raw_v45(ctx, ps, p, source_id, size)
+    except (KeyError, ValueError, _struct.error):
+        return None
+    return None
+
+
+# ==============================================================================
+# EAX 4.0/5.0: fx-slot properties, per-slot EAXREVERB parameter sets, and
+# EAX50 context properties (al/eax/api.h:326-450, 713-839; fx_slots.cpp).
+
+EAXPROPERTYID_EAX50_Context = "57e13437-b932-4ab2-b8bd-5266c1a887ee"
+EAXPROPERTYID_EAX50_FXSlot0 = "91f9590f-c388-407a-84b0-1bae0ef71abc"
+EAXPROPERTYID_EAX50_FXSlot1 = "8f5f7aca-9608-4965-8137-8213c7b9d9de"
+EAXPROPERTYID_EAX50_FXSlot2 = "3c0f5252-9834-46f0-a1d8-5b95c4a00a30"
+EAXPROPERTYID_EAX50_FXSlot3 = "e2eb0eaa-e806-45e7-9f86-06c1571a6fa3"
+EAXPROPERTYID_EAX50_Source = "5edf82f0-24a7-4f38-8e64-2f09ca05dee1"
+
+_FXSLOT_GUIDS.update({EAXPROPERTYID_EAX50_FXSlot0: 0,
+                      EAXPROPERTYID_EAX50_FXSlot1: 1,
+                      EAXPROPERTYID_EAX50_FXSlot2: 2,
+                      EAXPROPERTYID_EAX50_FXSlot3: 3})
+
+# EAXFXSLOT_PROPERTY (api.h:383-396): slot props sit at 0x10000+; ids below
+# dispatch to the loaded effect's parameter set.
+FXSLOT_NONE = 0x10000
+FXSLOT_ALLPARAMETERS = 0x10001
+FXSLOT_LOADEFFECT = 0x10002
+FXSLOT_VOLUME = 0x10003
+FXSLOT_LOCK = 0x10004
+FXSLOT_FLAGS = 0x10005
+FXSLOT_OCCLUSION = 0x10006
+FXSLOT_OCCLUSIONLFRATIO = 0x10007
+
+# EAXREVERB_PROPERTY (api.h:713-740)
+RV_NONE, RV_ALL, RV_ENVIRONMENT, RV_ENVIRONMENTSIZE, \
+    RV_ENVIRONMENTDIFFUSION, RV_ROOM, RV_ROOMHF, RV_ROOMLF, RV_DECAYTIME, \
+    RV_DECAYHFRATIO, RV_DECAYLFRATIO, RV_REFLECTIONS, RV_REFLECTIONSDELAY, \
+    RV_REFLECTIONSPAN, RV_REVERB, RV_REVERBDELAY, RV_REVERBPAN, \
+    RV_ECHOTIME, RV_ECHODEPTH, RV_MODULATIONTIME, RV_MODULATIONDEPTH, \
+    RV_AIRABSORPTIONHF, RV_HFREFERENCE, RV_LFREFERENCE, \
+    RV_ROOMROLLOFFFACTOR, RV_FLAGS = range(26)
+
+# pid -> (efx eaxreverb prop, mB conversion or None); pans handled apart.
+_RV_PROPS = {
+    RV_ENVIRONMENTDIFFUSION: ("diffusion", None),
+    RV_ROOM: ("gain", level_mb_to_gain),
+    RV_ROOMHF: ("gain_hf", level_mb_to_gain),
+    RV_ROOMLF: ("gain_lf", level_mb_to_gain),
+    RV_DECAYTIME: ("decay_time", None),
+    RV_DECAYHFRATIO: ("decay_hf_ratio", None),
+    RV_DECAYLFRATIO: ("decay_lf_ratio", None),
+    RV_REFLECTIONS: ("reflections_gain", level_mb_to_gain),
+    RV_REFLECTIONSDELAY: ("reflections_delay", None),
+    RV_REVERB: ("late_reverb_gain", level_mb_to_gain),
+    RV_REVERBDELAY: ("late_reverb_delay", None),
+    RV_ECHOTIME: ("echo_time", None),
+    RV_ECHODEPTH: ("echo_depth", None),
+    RV_MODULATIONTIME: ("modulation_time", None),
+    RV_MODULATIONDEPTH: ("modulation_depth", None),
+    RV_AIRABSORPTIONHF: ("air_absorption_gain_hf", level_mb_to_gain),
+    RV_HFREFERENCE: ("hf_reference", None),
+    RV_LFREFERENCE: ("lf_reference", None),
+    RV_ROOMROLLOFFFACTOR: ("room_rolloff_factor", None),
+}
+_RV_PANS = {RV_REFLECTIONSPAN: "reflections_pan",
+            RV_REVERBPAN: "late_reverb_pan"}
+
+# EAXREVERB env-size scaling flag bits (api.h EAXREVERBFLAGS_*)
+RVF_DECAYTIMESCALE = 0x01
+RVF_REFLECTIONSSCALE = 0x02
+RVF_REFLECTIONSDELAYSCALE = 0x04
+RVF_REVERBSCALE = 0x08
+RVF_REVERBDELAYSCALE = 0x10
+RVF_ECHOTIMESCALE = 0x40
+RVF_MODTIMESCALE = 0x80
+RVF_DECAYHFLIMIT = 0x20
+
+_EAX_ENV_UNDEFINED = 26   # EAX_ENVIRONMENT_UNDEFINED
+
+
+class _SlotReverbState:
+    """Per-slot committed environment bookkeeping (EnvironmentDeferrer3 /
+    EnvironmentSizeDeferrer3 state, al/effects/reverb.cpp:886-990)."""
+
+    def __init__(self) -> None:
+        self.environment = 0
+        self.size = 7.5
+        self.flags = 0x3F
+
+
+def _slot_rv(st: EaxContext, idx: int) -> _SlotReverbState:
+    slot = st._ensure_slot(idx)
+    rv = getattr(slot, "_eax_rv", None)
+    if rv is None:
+        rv = slot._eax_rv = _SlotReverbState()
+    return rv
+
+
+def fxslot_set(st: EaxContext, idx: int, pid: int, value) -> None:
+    """EAXSet on an fx-slot property set (fx_slots.cpp EaxFxSlot::set)."""
+    slot = st._ensure_slot(idx)
+    if pid >= FXSLOT_NONE:
+        if pid == FXSLOT_LOADEFFECT:
+            st._load_effect(idx, _EFFECT_GUIDS.get(str(value).lower(),
+                                                   "null"))
+        elif pid == FXSLOT_VOLUME:
+            slot.gain = level_mb_to_gain(float(value))
+            slot.props_dirty = True
+        elif pid in (FXSLOT_LOCK, FXSLOT_FLAGS, FXSLOT_OCCLUSION,
+                     FXSLOT_OCCLUSIONLFRATIO):
+            setattr(slot, f"_eax_slot_{pid & 0xffff}", value)
+        elif pid in (FXSLOT_NONE, FXSLOT_ALLPARAMETERS):
+            if isinstance(value, dict):
+                for k, v in value.items():
+                    fxslot_set(st, idx, k, v)
+        else:
+            raise ValueError(f"fxslot pid {pid:#x}")
+        return
+    # Effect parameter: dispatch per the loaded effect type (only the
+    # reverb set is parameterized through EAX in this build; other effect
+    # loads accept LOADEFFECT + defaults, as the common titles use).
+    if st.slot_effect_type[idx] != "eaxreverb":
+        raise ValueError(f"effect pid {pid} on {st.slot_effect_type[idx]}")
+    eff = st._reverb_effect(idx)
+    rv = _slot_rv(st, idx)
+    if pid == RV_ENVIRONMENT:
+        env = int(value)
+        if env == _EAX_ENV_UNDEFINED:
+            rv.environment = env
+            return
+        from . import presets
+        for k, v in presets.REVERB_PRESETS[EAX2_ENVIRONMENTS[env]].items():
+            eff.set(k, v)
+        rv.environment = env
+        rv.size = _ENV_SIZES[env]
+        rv.flags = _ENV_FLAGS[env]
+        slot.set_effect(eff)
+        return
+    if pid == RV_ENVIRONMENTSIZE:
+        _rv_environment_size(eff, rv, float(value))
+        slot.set_effect(eff)
+        return
+    if pid == RV_FLAGS:
+        rv.flags = int(value)
+        eff.set("decay_hf_limit", bool(rv.flags & RVF_DECAYHFLIMIT))
+        slot.set_effect(eff)
+        return
+    if pid == RV_ALL:
+        rv.environment = int(value.get("environment", _EAX_ENV_UNDEFINED))
+        rv.size = float(value.get("environment_size", rv.size))
+        if "flags" in value:
+            rv.flags = int(value["flags"])
+            eff.set("decay_hf_limit", bool(rv.flags & RVF_DECAYHFLIMIT))
+        for k, v in value.items():
+            if k in _RV_BY_NAME:
+                name, conv = _RV_PROPS[_RV_BY_NAME[k]]
+                eff.set(name, conv(v) if conv else v)
+            elif k == "reflections_pan":
+                eff.set("reflections_pan", tuple(v))
+            elif k == "reverb_pan":
+                eff.set("late_reverb_pan", tuple(v))
+        slot.set_effect(eff)
+        return
+    if pid in _RV_PANS:
+        eff.set(_RV_PANS[pid], tuple(float(x) for x in value))
+        slot.set_effect(eff)
+        return
+    name, conv = _RV_PROPS[pid]
+    eff.set(name, conv(value) if conv else value)
+    slot.set_effect(eff)
+
+
+def fxslot_get(st: EaxContext, idx: int, pid: int):
+    slot = st._ensure_slot(idx)
+    if pid >= FXSLOT_NONE:
+        if pid == FXSLOT_VOLUME:
+            return gain_to_level_mb(slot.gain)
+        if pid in (FXSLOT_LOCK, FXSLOT_FLAGS, FXSLOT_OCCLUSION,
+                   FXSLOT_OCCLUSIONLFRATIO):
+            return getattr(slot, f"_eax_slot_{pid & 0xffff}", 0)
+        raise ValueError(f"fxslot pid {pid:#x}")
+    if st.slot_effect_type[idx] != "eaxreverb":
+        raise ValueError(f"effect pid {pid} on {st.slot_effect_type[idx]}")
+    eff = st._reverb_effect(idx)
+    rv = _slot_rv(st, idx)
+    if pid == RV_ENVIRONMENT:
+        return rv.environment
+    if pid == RV_ENVIRONMENTSIZE:
+        return rv.size
+    if pid == RV_FLAGS:
+        return rv.flags
+    if pid in _RV_PANS:
+        return tuple(eff.get(_RV_PANS[pid]))
+    name, conv = _RV_PROPS[pid]
+    v = eff.get(name)
+    return gain_to_level_mb(v) if conv else v
+
+
+def _rv_environment_size(eff, rv: _SlotReverbState, size: float) -> None:
+    """EnvironmentSizeDeferrer3 (al/effects/reverb.cpp:899-990)."""
+    if size == rv.size or rv.size <= 0.0:
+        rv.size = size
+        return
+    scale = size / rv.size
+    rv.size = size
+    rv.environment = _EAX_ENV_UNDEFINED
+    fl = rv.flags
+    clamp = lambda v, lo, hi: min(max(v, lo), hi)
+    if fl & RVF_DECAYTIMESCALE:
+        eff.set("decay_time", clamp(eff.get("decay_time") * scale, 0.1, 20.0))
+    if (fl & RVF_REFLECTIONSSCALE) and (fl & RVF_REFLECTIONSDELAYSCALE):
+        eff.set("reflections_gain",
+                clamp(eff.get("reflections_gain") / scale, 0.0, 3.16))
+    if fl & RVF_REFLECTIONSDELAYSCALE:
+        eff.set("reflections_delay",
+                clamp(eff.get("reflections_delay") * scale, 0.0, 0.3))
+    if fl & RVF_REVERBSCALE:
+        exp = 1.0 if fl & RVF_DECAYTIMESCALE else 1.5
+        eff.set("late_reverb_gain",
+                clamp(eff.get("late_reverb_gain") / (scale ** exp), 0.0, 10.0))
+    if fl & RVF_REVERBDELAYSCALE:
+        eff.set("late_reverb_delay",
+                clamp(eff.get("late_reverb_delay") * scale, 0.0, 0.1))
+    if fl & RVF_ECHOTIMESCALE:
+        eff.set("echo_time", clamp(eff.get("echo_time") * scale, 0.075, 0.25))
+    if fl & RVF_MODTIMESCALE:
+        eff.set("modulation_time",
+                clamp(eff.get("modulation_time") * scale, 0.04, 4.0))
+
+
+_RV_BY_NAME = {
+    "environment_diffusion": RV_ENVIRONMENTDIFFUSION, "room": RV_ROOM,
+    "room_hf": RV_ROOMHF, "room_lf": RV_ROOMLF, "decay_time": RV_DECAYTIME,
+    "decay_hf_ratio": RV_DECAYHFRATIO, "decay_lf_ratio": RV_DECAYLFRATIO,
+    "reflections": RV_REFLECTIONS,
+    "reflections_delay": RV_REFLECTIONSDELAY, "reverb": RV_REVERB,
+    "reverb_delay": RV_REVERBDELAY, "echo_time": RV_ECHOTIME,
+    "echo_depth": RV_ECHODEPTH, "modulation_time": RV_MODULATIONTIME,
+    "modulation_depth": RV_MODULATIONDEPTH,
+    "air_absorption_hf": RV_AIRABSORPTIONHF,
+    "hf_reference": RV_HFREFERENCE, "lf_reference": RV_LFREFERENCE,
+    "room_rolloff_factor": RV_ROOMROLLOFFFACTOR,
+}
+
+# EAXCONTEXT_PROPERTY (api.h:326-339)
+CTX_NONE, CTX_ALL, CTX_PRIMARYFXSLOTID, CTX_DISTANCEFACTOR, \
+    CTX_AIRABSORPTIONHF, CTX_HFREFERENCE, CTX_LASTERROR, \
+    CTX_SPEAKERCONFIG, CTX_EAXSESSION, CTX_MACROFXFACTOR = range(10)
+
+
+def context_set(st: EaxContext, pid: int, value) -> None:
+    """EAX 4.0/5.0 context properties (al/eax/context.cpp Eax*Setters)."""
+    if pid == CTX_PRIMARYFXSLOTID:
+        st.primary_fx_slot = _FXSLOT_GUIDS.get(str(value).lower(), 0)
+    elif pid == CTX_DISTANCEFACTOR:
+        st.distance_factor = float(value)
+    elif pid == CTX_AIRABSORPTIONHF:
+        st.air_absorption_hf = float(value)
+    elif pid == CTX_HFREFERENCE:
+        st.hf_reference = float(value)
+    elif pid == CTX_SPEAKERCONFIG:          # EAX50
+        st.speaker_config = int(value)
+    elif pid == CTX_EAXSESSION:             # EAX50: {version, max_sends}
+        st.eax_session = value
+    elif pid == CTX_MACROFXFACTOR:          # EAX50
+        st.macro_fx_factor = float(value)
+    elif pid in (CTX_NONE, CTX_LASTERROR):
+        pass
+    else:
+        raise ValueError(f"context pid {pid:#x}")
+
+
+def context_get(st: EaxContext, pid: int):
+    if pid == CTX_PRIMARYFXSLOTID:
+        inv = {0: EAXPROPERTYID_EAX40_FXSlot0,
+               1: EAXPROPERTYID_EAX40_FXSlot1,
+               2: EAXPROPERTYID_EAX40_FXSlot2,
+               3: EAXPROPERTYID_EAX40_FXSlot3}
+        return inv[st.primary_fx_slot]
+    if pid == CTX_DISTANCEFACTOR:
+        return getattr(st, "distance_factor", 1.0)
+    if pid == CTX_AIRABSORPTIONHF:
+        return getattr(st, "air_absorption_hf", -5.0)
+    if pid == CTX_HFREFERENCE:
+        return getattr(st, "hf_reference", 5000.0)
+    if pid == CTX_SPEAKERCONFIG:
+        return getattr(st, "speaker_config", 0)
+    if pid == CTX_MACROFXFACTOR:
+        return getattr(st, "macro_fx_factor", 0.0)
+    if pid == CTX_LASTERROR:
+        return 0
+    raise ValueError(f"context pid {pid:#x}")
+
+
+# --- raw marshalling for the EAX4/5 property sets -------------------------------
+
+# EAXREVERBPROPERTIES wire layout (api.h:810-839)
+_RVALL_STRUCT = "<LfflllffflffffflfffffffffffL"
+_RVALL_FIELDS = (
+    "environment", "environment_size", "environment_diffusion", "room",
+    "room_hf", "room_lf", "decay_time", "decay_hf_ratio", "decay_lf_ratio",
+    "reflections", "reflections_delay", "rp0", "rp1", "rp2", "reverb",
+    "reverb_delay", "vp0", "vp1", "vp2", "echo_time", "echo_depth",
+    "modulation_time", "modulation_depth", "air_absorption_hf",
+    "hf_reference", "lf_reference", "room_rolloff_factor", "flags")
+
+_RV_TYPES = {
+    RV_ENVIRONMENT: "L", RV_ENVIRONMENTSIZE: "f",
+    RV_ENVIRONMENTDIFFUSION: "f", RV_ROOM: "l", RV_ROOMHF: "l",
+    RV_ROOMLF: "l", RV_DECAYTIME: "f", RV_DECAYHFRATIO: "f",
+    RV_DECAYLFRATIO: "f", RV_REFLECTIONS: "l", RV_REFLECTIONSDELAY: "f",
+    RV_REVERB: "l", RV_REVERBDELAY: "f", RV_ECHOTIME: "f",
+    RV_ECHODEPTH: "f", RV_MODULATIONTIME: "f", RV_MODULATIONDEPTH: "f",
+    RV_AIRABSORPTIONHF: "f", RV_HFREFERENCE: "f", RV_LFREFERENCE: "f",
+    RV_ROOMROLLOFFFACTOR: "f", RV_FLAGS: "L",
+}
+
+_FXSLOT_TYPES = {FXSLOT_VOLUME: "l", FXSLOT_LOCK: "l", FXSLOT_FLAGS: "L",
+                 FXSLOT_OCCLUSION: "l", FXSLOT_OCCLUSIONLFRATIO: "f"}
+_CTX_TYPES = {CTX_DISTANCEFACTOR: "f", CTX_AIRABSORPTIONHF: "f",
+              CTX_HFREFERENCE: "f", CTX_SPEAKERCONFIG: "L",
+              CTX_MACROFXFACTOR: "f"}
+
+
+def _rvall_decode(raw: bytes) -> dict:
+    vals = dict(zip(_RVALL_FIELDS, _struct.unpack_from(_RVALL_STRUCT, raw)))
+    vals["reflections_pan"] = (vals.pop("rp0"), vals.pop("rp1"),
+                               vals.pop("rp2"))
+    vals["reverb_pan"] = (vals.pop("vp0"), vals.pop("vp1"), vals.pop("vp2"))
+    return vals
+
+
+def eax_set_raw_v45(ctx, ps: str, pid: int, source_id: int,
+                    raw: bytes) -> int | None:
+    """EAX4/5 half of eax_set_raw; None = property set not ours."""
+    st = get_eax(ctx)
+    if ps in _FXSLOT_GUIDS:
+        idx = _FXSLOT_GUIDS[ps]
+        try:
+            if pid == FXSLOT_LOADEFFECT and len(raw) >= 16:
+                fxslot_set(st, idx, pid, _bytes_to_guid(raw))
+            elif pid in _FXSLOT_TYPES:
+                fmt, conv = _SCALAR[_FXSLOT_TYPES[pid]]
+                fxslot_set(st, idx, pid,
+                           conv(_struct.unpack_from(fmt, raw, 0)[0]))
+            elif pid == RV_ALL:
+                fxslot_set(st, idx, pid, _rvall_decode(raw))
+            elif pid in _RV_PANS:
+                fxslot_set(st, idx, pid,
+                           _struct.unpack_from("<fff", raw, 0))
+            elif pid in _RV_TYPES:
+                fmt, conv = _SCALAR[_RV_TYPES[pid]]
+                fxslot_set(st, idx, pid,
+                           conv(_struct.unpack_from(fmt, raw, 0)[0]))
+            elif pid in (FXSLOT_NONE, RV_NONE):
+                pass
+            else:
+                return 0xA002
+            return 0
+        except (KeyError, ValueError, _struct.error):
+            return 0xA002
+    if ps in (EAXPROPERTYID_EAX40_Context, EAXPROPERTYID_EAX50_Context):
+        try:
+            if pid == CTX_PRIMARYFXSLOTID and len(raw) >= 16:
+                context_set(st, pid, _bytes_to_guid(raw))
+            elif pid == CTX_EAXSESSION and len(raw) >= 8:
+                ver, sends = _struct.unpack_from("<LL", raw, 0)
+                context_set(st, pid, {"version": ver, "max_sends": sends})
+            elif pid in _CTX_TYPES:
+                fmt, conv = _SCALAR[_CTX_TYPES[pid]]
+                context_set(st, pid,
+                            conv(_struct.unpack_from(fmt, raw, 0)[0]))
+            elif pid in (CTX_NONE, CTX_LASTERROR):
+                pass
+            else:
+                return 0xA002
+            return 0
+        except (KeyError, ValueError, _struct.error):
+            return 0xA002
+    return None
+
+
+def eax_get_raw_v45(ctx, ps: str, pid: int, source_id: int,
+                    size: int) -> bytes | None | int:
+    st = get_eax(ctx)
+    if ps in _FXSLOT_GUIDS:
+        idx = _FXSLOT_GUIDS[ps]
+        try:
+            if pid == RV_ALL:
+                d = {f: fxslot_get(st, idx, _RV_BY_NAME[f])
+                     for f in _RV_BY_NAME}
+                d["environment"] = fxslot_get(st, idx, RV_ENVIRONMENT)
+                d["environment_size"] = fxslot_get(st, idx,
+                                                   RV_ENVIRONMENTSIZE)
+                d["flags"] = fxslot_get(st, idx, RV_FLAGS)
+                rp = fxslot_get(st, idx, RV_REFLECTIONSPAN)
+                vp = fxslot_get(st, idx, RV_REVERBPAN)
+                d.update(rp0=rp[0], rp1=rp[1], rp2=rp[2],
+                         vp0=vp[0], vp1=vp[1], vp2=vp[2])
+                codes = [c for c in _RVALL_STRUCT if c in "lLf"]
+                vals = [float(d[f]) if codes[i] == "f" else int(d[f])
+                        for i, f in enumerate(_RVALL_FIELDS)]
+                return _struct.pack(_RVALL_STRUCT, *vals)[:size]
+            if pid in _RV_PANS:
+                v = fxslot_get(st, idx, pid)
+                return _struct.pack("<fff", *[float(x) for x in v])[:size]
+            if pid in _FXSLOT_TYPES:
+                fmt, conv = _SCALAR[_FXSLOT_TYPES[pid]]
+                return _struct.pack(fmt,
+                                    conv(fxslot_get(st, idx, pid)))[:size]
+            if pid in _RV_TYPES:
+                fmt, conv = _SCALAR[_RV_TYPES[pid]]
+                return _struct.pack(fmt,
+                                    conv(fxslot_get(st, idx, pid)))[:size]
+        except (KeyError, ValueError, _struct.error):
+            return None
+        return None
+    if ps in (EAXPROPERTYID_EAX40_Context, EAXPROPERTYID_EAX50_Context):
+        try:
+            if pid == CTX_PRIMARYFXSLOTID:
+                g = context_get(st, pid)
+                parts = g.split("-")
+                d1 = int(parts[0], 16)
+                d2 = int(parts[1], 16)
+                d3 = int(parts[2], 16)
+                d4 = bytes.fromhex(parts[3] + parts[4])
+                return (_struct.pack("<IHH", d1, d2, d3) + d4)[:size]
+            if pid in _CTX_TYPES:
+                fmt, conv = _SCALAR[_CTX_TYPES[pid]]
+                return _struct.pack(fmt, conv(context_get(st, pid)))[:size]
+            if pid == CTX_LASTERROR:
+                return _struct.pack("<l", 0)[:size]
+        except (KeyError, ValueError, _struct.error):
+            return None
+        return None
+    return None

@@ -73,9 +73,97 @@ def test_eax2_reverb_renders_through_efx():
 
 def test_eax_fxslot_load_and_primary():
     dev, ctx, sid = _scene()
-    api.EAXSet(eax.EAXPROPERTYID_EAX40_FXSlot1, 1, 0, eax.EAX_CHORUS_EFFECT)
+    api.EAXSet(eax.EAXPROPERTYID_EAX40_FXSlot1, eax.FXSLOT_LOADEFFECT, 0,
+               eax.EAX_CHORUS_EFFECT)
     st = eax.get_eax(ctx)
     assert st.slot_effect_type[1] == "chorus"
     api.EAXSet(eax.EAXPROPERTYID_EAX40_Context, 2, 0,
                eax.EAXPROPERTYID_EAX40_FXSlot1)
     assert st.primary_fx_slot == 1
+
+
+def test_eax2_environment_size_and_flags():
+    """ENVIRONMENTSIZE scales decay/reflection/reverb per the listener
+    flags (EnvironmentSizeDeferrer2, al/effects/reverb.cpp:829-884); FLAGS
+    and a full ALLPARAMETERS struct set must not raise."""
+    from openal_soft_tpu.al.eax import (
+        L20_ALL, L20_ENVIRONMENTSIZE, L20_FLAGS, get_eax)
+
+    dev, ctx, sid = _scene()
+    L = DSPROPSETID_EAX20_ListenerProperties
+    api.EAXSet(L, L20_ENVIRONMENT, 0, 0)               # generic, size 7.5
+    assert api.EAXGet(L, L20_ENVIRONMENTSIZE, 0) == 7.5
+    st = get_eax(api._ctx())
+    eff = st.slots[0]._eax_effect
+    d0 = eff.get("decay_time")
+    rg0 = eff.get("reflections_gain")
+    rd0 = eff.get("reflections_delay")
+
+    api.EAXSet(L, L20_ENVIRONMENTSIZE, 0, 15.0)        # double the room
+    scale = 15.0 / 7.5
+    assert api.EAXGet(L, L20_ENVIRONMENTSIZE, 0) == 15.0
+    assert np.isclose(eff.get("decay_time"), min(d0 * scale, 20.0))
+    assert np.isclose(eff.get("reflections_gain"), rg0 / scale)
+    assert np.isclose(eff.get("reflections_delay"), min(rd0 * scale, 0.3))
+
+    # FLAGS: clearing DECAYTIMESCALE freezes decay on further size changes.
+    api.EAXSet(L, L20_FLAGS, 0, 0x3F & ~0x01)
+    d1 = eff.get("decay_time")
+    api.EAXSet(L, L20_ENVIRONMENTSIZE, 0, 30.0)
+    assert np.isclose(eff.get("decay_time"), d1)
+
+    # Whole-struct set including environment_size and flags: absolute, no
+    # rescaling, no KeyError.
+    api.EAXSet(L, L20_ALL, 0, {
+        "environment": 2, "environment_size": 4.2, "flags": 0x3F,
+        "decay_time": 0.9, "room": -500})
+    assert api.EAXGet(L, L20_ENVIRONMENTSIZE, 0) == 4.2
+    assert np.isclose(eff.get("decay_time"), 0.9)
+
+
+def test_eax5_fxslot_reverb_properties():
+    """EAX 4/5 fx-slot property sets: EAXREVERB parameters on a slot
+    (al/eax/fx_slots.cpp + effects/reverb.cpp committers), EAX50 GUIDs,
+    and the raw (byte-level) ABI the C shim uses."""
+    import struct
+    from openal_soft_tpu.al.eax import (
+        EAXPROPERTYID_EAX50_Context, EAXPROPERTYID_EAX50_FXSlot0,
+        FXSLOT_LOADEFFECT, FXSLOT_VOLUME, RV_ALL, RV_DECAYTIME,
+        RV_ENVIRONMENT, RV_ENVIRONMENTSIZE, CTX_MACROFXFACTOR,
+        CTX_SPEAKERCONFIG, eax_get_raw, eax_set_raw, get_eax)
+
+    dev, ctx, sid = _scene()
+    st = eax.get_eax(ctx)
+    S0 = EAXPROPERTYID_EAX50_FXSlot0
+
+    # Environment select + size scaling on slot 0 through the EAX50 GUID.
+    api.EAXSet(S0, RV_ENVIRONMENT, 0, 10)              # hangar
+    assert api.EAXGet(S0, RV_ENVIRONMENT, 0) == 10
+    d0 = api.EAXGet(S0, RV_DECAYTIME, 0)
+    assert d0 > 2.0
+    api.EAXSet(S0, RV_ENVIRONMENTSIZE, 0,
+               2.0 * api.EAXGet(S0, RV_ENVIRONMENTSIZE, 0))
+    assert api.EAXGet(S0, RV_DECAYTIME, 0) > d0        # decay scaled up
+    assert api.EAXGet(S0, RV_ENVIRONMENT, 0) == 26     # UNDEFINED now
+
+    # Slot volume in mB.
+    api.EAXSet(S0, FXSLOT_VOLUME, 0, -600)
+    assert abs(st.slots[0].gain - 10 ** (-600 / 2000)) < 1e-6
+
+    # EAX50 context properties.
+    api.EAXSet(EAXPROPERTYID_EAX50_Context, CTX_SPEAKERCONFIG, 0, 1)
+    api.EAXSet(EAXPROPERTYID_EAX50_Context, CTX_MACROFXFACTOR, 0, 0.5)
+    assert api.EAXGet(EAXPROPERTYID_EAX50_Context, CTX_MACROFXFACTOR,
+                      0) == 0.5
+
+    # Raw ABI: whole EAXREVERBPROPERTIES struct roundtrip.
+    raw = eax_get_raw(ctx, S0, RV_ALL, 0, 112)
+    assert raw is not None and len(raw) == 112
+    env, size = struct.unpack_from("<Lf", raw, 0)
+    assert env == 26
+    rc = eax_set_raw(ctx, S0, RV_ALL, 0, raw)
+    assert rc == 0
+    rc = eax_set_raw(ctx, S0, RV_DECAYTIME, 0, struct.pack("<f", 4.25))
+    assert rc == 0
+    back = struct.unpack("<f", eax_get_raw(ctx, S0, RV_DECAYTIME, 0, 4))[0]
+    assert abs(back - 4.25) < 1e-6
