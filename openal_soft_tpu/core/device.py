@@ -55,6 +55,29 @@ from .voice import PlayState, Voice
 f32 = np.float32
 
 
+def _dedupe_buffers(tree):
+    """Copy repeated array leaves so every leaf owns a distinct buffer
+    (donation-safety: jax.jit(donate_argnums) rejects the same buffer at
+    two donated leaves)."""
+    leaves, treedef = jax.tree.flatten(tree)
+    seen: set[int] = set()
+    out = []
+    for leaf in leaves:
+        if isinstance(leaf, jax.Array):
+            try:
+                # Buffer identity, not object identity: XLA may hand two
+                # distinct ArrayImpls the same underlying buffer.
+                key = leaf.unsafe_buffer_pointer()
+            except Exception:
+                key = id(leaf)
+            if key in seen:
+                leaf = jnp.copy(leaf)
+            else:
+                seen.add(key)
+        out.append(leaf)
+    return jax.tree.unflatten(treedef, out)
+
+
 class BufferPool:
     """Device-resident sample pool with a host-side bump/free allocator.
 
@@ -619,7 +642,8 @@ class RenderDevice:
 
     def _render_one(self, state: dict, ev: dict, cfg: dict, pool: jax.Array,
                     T: int, taps: int, rs_plan: tuple | None = None,
-                    axis_name: str | None = None):
+                    axis_name: str | None = None,
+                    x_pre: jax.Array | None = None):
         """One block: returns (out [C,T], state', ev').
 
         With ``axis_name`` set (multi-chip: called under shard_map with the
@@ -633,7 +657,12 @@ class RenderDevice:
         the interp schedule, the fade counter to zero (with Current==Target
         the continued 64-sample "fade" of the reference is the identity)."""
         T_res = T + self._uhj_pad()
-        if rs_plan is not None and rs_plan[0] == "unit":
+        if x_pre is not None:
+            # Super-block dispatch: the resample for several blocks ran as
+            # one kernel call (one span DMA per voice per super-block); this
+            # block consumes its slice.
+            x = x_pre
+        elif rs_plan is not None and rs_plan[0] == "unit":
             x = rs_unit.resample_voices_unit(
                 pool.reshape(-1, 128), cfg["src_off"], cfg["src_len"],
                 cfg["loop_start"], cfg["loop_end"], cfg["has_loop"],
@@ -871,7 +900,8 @@ class RenderDevice:
         out = out.at[ci].add(c * 0.5)
         return out, new_state
 
-    @functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8, 9))
+    @functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8, 9),
+                       donate_argnums=(1, 2))
     def _render_chunk(self, state: dict, ev: dict, cfg: dict, pool: jax.Array,
                       T: int, n_blocks: int, taps: int, chain: tuple,
                       rs_plan: tuple | None = None):
@@ -879,7 +909,10 @@ class RenderDevice:
 
         Amortizes dispatch/transfer overhead when the host has no pending
         events for the whole horizon (the analog of the reference's RT
-        thread running freely between property updates)."""
+        thread running freely between property updates).  The carried
+        state/ev pytrees are donated: the evolved copies reuse the input
+        buffers in place (no per-dispatch state reallocation; the host
+        rebinds its handles to the outputs immediately)."""
         reset = cfg["reset_rows"]
         state = dict(state)
         state["filter_z"] = jnp.where(reset[:, None, None], 0.0,
@@ -897,6 +930,43 @@ class RenderDevice:
             out, state, ev = self._render_one(state, ev, cfg, pool, T, taps,
                                               rs_plan)
             return out[None], state, ev
+
+        sb = rs_plan[1] if (rs_plan is not None and rs_plan[0] == "unit"
+                            and len(rs_plan) > 1) else 1
+        if sb > 1 and n_blocks % sb == 0:
+            # Super-block resampling (PROFILE.md roadmap): the unit-increment
+            # kernel's cost is dominated by per-voice scalar geometry + span
+            # DMA issue, so amortize — ONE kernel call covers sb consecutive
+            # blocks' windows (positions are contiguous at unit increment;
+            # loop seams still single per window by the _rs_plan loop_len
+            # bound), and each block consumes its slice.
+            pad = self._uhj_pad()
+            T_sb = sb * T + pad
+            pool2d = pool.reshape(-1, 128)
+
+            def outer(carry, _):
+                st, e = carry
+                x_all = rs_unit.resample_voices_unit(
+                    pool2d, cfg["src_off"], cfg["src_len"],
+                    cfg["loop_start"], cfg["loop_end"], cfg["has_loop"],
+                    e["has_wrapped"], e["pos_int"], cfg["rs_unit_w"],
+                    T_sb, taps)
+
+                def inner(c2, b):
+                    st2, e2 = c2
+                    x_b = jax.lax.dynamic_slice_in_dim(x_all, b * T, T + pad,
+                                                       axis=1)
+                    out, st2, e2 = self._render_one(
+                        st2, e2, cfg, pool, T, taps, rs_plan, x_pre=x_b)
+                    return (st2, e2), out
+
+                (st, e), outs = jax.lax.scan(inner, (st, e),
+                                             jnp.arange(sb))
+                return (st, e), outs
+
+            (state, ev), outs = jax.lax.scan(outer, (state, ev), None,
+                                             length=n_blocks // sb)
+            return outs.reshape((n_blocks,) + outs.shape[2:]), state, ev
 
         def body(carry, _):
             st, e = carry
@@ -1123,7 +1193,7 @@ class RenderDevice:
             done += self._render_dispatch(out, done, num_frames - done)
           return self._convert_output(out)
 
-    _CHUNK_SIZES = (256, 64, 8, 1)
+    _CHUNK_SIZES = (512, 256, 64, 8, 1)
     _GRAIN = 128  # kernel tiling unit: filters need T%32, HRTF/echo T%128
 
     def _render_dispatch(self, out: np.ndarray, done: int, remaining: int) -> int:
@@ -1173,12 +1243,17 @@ class RenderDevice:
             self._ev_dev = None
         ev = (self._ev_dev if self._ev_dev is not None
               else self.table.evolving_dict())
+        # The render step donates (state, ev); a buffer appearing at two
+        # leaves (a shared zeros init, or XLA aliasing two identical
+        # outputs into one buffer) would be an invalid double-donation.
+        self._state = _dedupe_buffers(self._state)
+        ev = _dedupe_buffers(ev)
 
         try:
             blocks, self._state, self._ev_dev = self._render_chunk(
                 self._state, ev, self._cfg_dev, self.pool.device_array(), T,
                 n_blocks, self._taps, self._chain_signature(),
-                self._rs_plan(T))
+                self._rs_plan(T, n_blocks))
             arr = np.asarray(jax.device_get(blocks))       # [n_blocks, C, T]
         except jax.errors.JaxRuntimeError as e:
             # Accelerator failure mid-render (the alu.cpp:2499 disconnect
@@ -1196,7 +1271,7 @@ class RenderDevice:
                 blocks, self._state, self._ev_dev = self._render_chunk(
                     self._state, ev, self._cfg_dev,
                     self.pool.device_array(), T, n_blocks, self._taps,
-                    self._chain_signature(), self._rs_plan(T))
+                    self._chain_signature(), self._rs_plan(T, n_blocks))
                 arr = np.asarray(jax.device_get(blocks))
         frames = n_blocks * T
         flat = arr.transpose(0, 2, 1).reshape(frames, -1)
@@ -1243,8 +1318,32 @@ class RenderDevice:
         self._cpu_fallback = True
         self._cpu_dev = jax.devices("cpu")[0]
         self._pallas_ok = False
-        self._state = jax.device_put(jax.device_get(self._state),
-                                     self._cpu_dev)
+        try:
+            host_state = jax.device_get(self._state)
+        except Exception:
+            # The carried state was donated into the failed dispatch (or
+            # lives on the dead accelerator): unreadable either way.
+            # Reinitialize the stream-continuity state (filter memories,
+            # HRTF history/tails, effect lines) — one glitch at the failure
+            # instant, matching the reference's device-disconnect behavior.
+            host_state = None
+            log.err("carried render state unreachable; reinitializing")
+        if host_state is not None:
+            self._state = jax.device_put(host_state, self._cpu_dev)
+        else:
+            with jax.default_device(self._cpu_dev):
+                st = self._init_state()
+                for i, slot in enumerate(self.slots):
+                    st[f"slot{i}"] = slot.state.device_update()
+                for k, voices in self._uhj_groups.items():
+                    nv_ = len(voices)
+                    if not nv_:
+                        continue
+                    for f, shape in self._uhj_state_spec(k):
+                        st[f"uhj_{k}_{f}"] = jnp.zeros((nv_,) + shape, f32)
+                    if k == "u2":
+                        st["uhj_split"] = jnp.zeros((3 * nv_, 3), f32)
+                self._state = st
         self._cfg_dev = None
         self._ev_dev = None
         self.pool._device = None
@@ -1336,26 +1435,41 @@ class RenderDevice:
     def mark_config_dirty(self) -> None:
         self._cfg_dev = None
 
-    def _rs_plan(self, T: int) -> tuple | None:
-        """Resampler kernel plan: ("unit",), ("gen", span, winw), or None
-        (jnp gather path).
+    # Largest blocks-per-resample-kernel-call (VMEM-bounded: the span
+    # scratch at T_sb = 16*1024 is ~4.3 MB of the ~16 MB budget).
+    _RS_SUPER_BLOCKS = (16, 8, 4, 2)
+
+    def _rs_plan(self, T: int, n_blocks: int = 1) -> tuple | None:
+        """Resampler kernel plan: ("unit",), ("unit", sb), ("gen", span,
+        winw), or None (jnp gather path).
 
         Static per dispatch: keys the jit cache, so plans only bucket-change
         when the population's pitch profile crosses a boundary.  The unit
         plan (every active voice at increment exactly 1<<16 — native-rate
         playback, the dominant real-world case) selects the gather-free
-        contiguous-window kernel (ops/pallas/resample_unit.py)."""
+        contiguous-window kernel (ops/pallas/resample_unit.py); with a
+        multi-block dispatch it upgrades to a super-block plan ("unit", sb):
+        one kernel call resamples sb consecutive blocks (one span DMA +
+        one geometry pass per voice per sb blocks), provided every looping
+        voice's loop is long enough that at most one seam falls inside the
+        sb-block window."""
         if not (self._pallas_ok and T % 128 == 0):
             return None
         t = self.table
-        T_res = T + self._uhj_pad()
+        pad = self._uhj_pad()
+        T_res = T + pad
         act = t.active
         loop_len = t.loop_end - t.loop_start
         if (self.capacity % rs_unit.NV == 0
-                and bool(np.all(t.increment[act] == (1 << MIXER_FRAC_BITS_)))
-                and bool(np.all(~(t.has_loop & act)
-                                | (loop_len >= T_res + self._taps)))):
-            return ("unit",)
+                and bool(np.all(t.increment[act] == (1 << MIXER_FRAC_BITS_)))):
+            la = t.has_loop & act
+            ll_min = int(loop_len[la].min()) if bool(la.any()) else (1 << 30)
+            if ll_min >= T_res + self._taps:
+                for sbc in self._RS_SUPER_BLOCKS:
+                    if (n_blocks >= sbc and n_blocks % sbc == 0
+                            and ll_min >= sbc * T + pad + self._taps):
+                        return ("unit", sbc)
+                return ("unit",)
         if self.capacity % rs_pallas.NV != 0:
             return None
         max_inc = int(t.increment.max())

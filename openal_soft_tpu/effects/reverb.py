@@ -321,14 +321,17 @@ class ReverbEffect(EffectState):
             dev.mark_config_dirty()
 
     def _pipeline_state(self) -> dict:
-        z4 = jnp.zeros((NUM_LINES, 2), jnp.float32)
+        # One distinct buffer per leaf: the render step donates the state
+        # pytree, and a buffer shared by several donated leaves is an
+        # invalid double-donation.
+        z4 = lambda: jnp.zeros((NUM_LINES, 2), jnp.float32)
         st = {
             "late_in": jnp.zeros((NUM_LINES, self.len_late_in), jnp.float32),
             "early_ap": jnp.zeros((NUM_LINES, self.len_early_ap), jnp.float32),
             "early_dl": jnp.zeros((NUM_LINES, self.len_early), jnp.float32),
             "vecap": jnp.zeros((NUM_LINES, self.len_vecap), jnp.float32),
             "late_dl": jnp.zeros((NUM_LINES, self.len_late), jnp.float32),
-            "lp_z": z4, "hp_z": z4, "t60_hf_z": z4, "t60_lf_z": z4,
+            "lp_z": z4(), "hp_z": z4(), "t60_hf_z": z4(), "t60_lf_z": z4(),
             "mod_index": jnp.zeros((), jnp.uint32),
             "serial_done": jnp.full((), -1, jnp.int32),
             "g_early_cur": jnp.zeros((NUM_LINES, self.device.n_dry), jnp.float32),

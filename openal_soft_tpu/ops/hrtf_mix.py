@@ -118,8 +118,29 @@ def hrtf_voices_accum(x_cat, coeffs, delay, gain, old_coeffs, old_delay,
 
     def steady_branch(_):
         # No fades: env is the constant gain inside the per-ear valid
-        # window.  The old set contributes nothing (host syncs old <- new).
-        return one_set(coeffs, shifted_env(delay, "new"))
+        # window (arg = n - HIST + d in [0, T)), so the gain folds into the
+        # IR matrix and the hot contraction takes a single [L, N] rhs —
+        # halving its input traffic and skipping the [L, 2, N] env
+        # materialization entirely.  The fold overcounts only the per-ear
+        # window edges: the first HIST-d samples (history the reference
+        # does not re-read) and the last d samples (beyond the block), each
+        # confined to a HIST-wide strip, subtracted with two small matmuls
+        # (PROFILE.md "single-rhs HRTF form").
+        g = jnp.where(active, gain, 0.0)
+        gc = coeffs * g[:, None, None]                       # [L, 192, 2]
+        P = jnp.einsum("vde,vn->edn", gc, x_cat,
+                       preferred_element_type=jnp.float32, precision=_HI)
+        k = jnp.arange(HIST, dtype=jnp.int32)
+        inv_head = k[None, None, :] < (HIST - delay)[:, :, None]
+        w_head = jnp.where(inv_head, x_cat[:, None, :HIST], 0.0)
+        P_head = jnp.einsum("vde,ven->edn", gc, w_head,
+                            preferred_element_type=jnp.float32, precision=_HI)
+        inv_tail = k[None, None, :] >= (HIST - delay)[:, :, None]
+        w_tail = jnp.where(inv_tail, x_cat[:, None, T:], 0.0)
+        P_tail = jnp.einsum("vde,ven->edn", gc, w_tail,
+                            preferred_element_type=jnp.float32, precision=_HI)
+        P = P.at[:, :, :HIST].add(-P_head)
+        return P.at[:, :, T:].add(-P_tail)
 
     any_fade = jnp.any(fade > 0)
     P = jax.lax.cond(any_fade, fade_branch, steady_branch, None)
