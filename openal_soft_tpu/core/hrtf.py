@@ -108,6 +108,10 @@ def load_mhr(path: str) -> HrtfStore:
         return _load_mhr3(data)
     if magic == b"MinPHR02":
         return _load_mhr2(data)
+    if magic == b"MinPHR01":
+        return _load_mhr1(data)
+    if magic == b"MinPHR00":
+        return _load_mhr0(data)
     raise ValueError(f"unsupported mhr format: {magic!r}")
 
 
@@ -206,6 +210,62 @@ def _load_mhr2(data: bytes) -> HrtfStore:
         field_ev_counts=np.array(ev_counts, np.int32),
         elev_az_counts=az_counts_np, elev_ir_offsets=ir_offsets,
         coeffs=coeffs, delays=delays)
+
+
+def _legacy_store(rate: int, ir_size: int, az_counts_np: np.ndarray,
+                  ir_offsets: np.ndarray, buf: memoryview) -> HrtfStore:
+    """Shared MinPHR00/01 payload: mono 16-bit HRIRs + whole-sample delays,
+    left-mirrored, one field at distance 0 (hrtf_loader.cpp:251-275,335-343)."""
+    ir_total = int(az_counts_np.sum())
+    coeffs = np.zeros((ir_total, HRIR_LENGTH, 2), f32)
+    delays = np.zeros((ir_total, 2), np.uint8)
+    count = ir_total * ir_size
+    vals = np.frombuffer(buf[: count * 2], "<i2").astype(f32) / f32(32768.0)
+    buf = buf[count * 2:]
+    coeffs[:, :ir_size, 0] = vals.reshape(ir_total, ir_size)
+    ldel = np.frombuffer(buf[:ir_total], np.uint8)
+    if int(ldel.max(initial=0)) > MAX_HRIR_DELAY:
+        raise ValueError("invalid HRIR delay")
+    delays[:, 0] = ldel << 2                        # whole samples → 2.6
+    _mirror_left(az_counts_np, ir_offsets, coeffs, delays)
+    return HrtfStore(
+        sample_rate=rate, ir_size=ir_size,
+        field_distances=np.array([0.0], f32),
+        field_ev_counts=np.array([len(az_counts_np)], np.int32),
+        elev_az_counts=az_counts_np, elev_ir_offsets=ir_offsets,
+        coeffs=coeffs, delays=delays)
+
+
+def _load_mhr1(data: bytes) -> HrtfStore:
+    """MinPHR01 (hrtf_loader.cpp:278-343): per-elevation azimuth counts."""
+    buf = memoryview(data)
+    rate, ir_size, ev_count = struct.unpack_from("<IBB", buf)
+    buf = buf[6:]
+    if not (MIN_IR_LENGTH <= ir_size <= HRIR_LENGTH):
+        raise ValueError(f"unsupported irSize {ir_size}")
+    az_counts_np = np.frombuffer(buf[:ev_count], np.uint8).astype(np.int32)
+    buf = buf[ev_count:]
+    if az_counts_np.min(initial=1) < 1 or az_counts_np.max(initial=1) > 255:
+        raise ValueError("unsupported azimuth count")
+    ir_offsets = np.concatenate([[0], np.cumsum(az_counts_np)[:-1]]
+                                ).astype(np.int32)
+    return _legacy_store(rate, ir_size, az_counts_np, ir_offsets, buf)
+
+
+def _load_mhr0(data: bytes) -> HrtfStore:
+    """MinPHR00 (hrtf_loader.cpp:192-276): explicit per-elevation IR offsets."""
+    buf = memoryview(data)
+    rate, ir_count, ir_size, ev_count = struct.unpack_from("<IHHB", buf)
+    buf = buf[9:]
+    if not (MIN_IR_LENGTH <= ir_size <= HRIR_LENGTH):
+        raise ValueError(f"unsupported irSize {ir_size}")
+    ir_offsets = np.frombuffer(buf[: ev_count * 2], "<u2").astype(np.int32)
+    buf = buf[ev_count * 2:]
+    if np.any(np.diff(ir_offsets) <= 0) or ir_count <= ir_offsets[-1]:
+        raise ValueError("invalid evOffset")
+    az_counts_np = np.diff(np.concatenate([ir_offsets, [ir_count]])
+                           ).astype(np.int32)
+    return _legacy_store(rate, ir_size, az_counts_np, ir_offsets, buf)
 
 
 def _mirror_left(az_counts, ir_offsets, coeffs, delays) -> None:

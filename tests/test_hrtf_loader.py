@@ -88,3 +88,66 @@ def test_hrtf_device_rate_mismatch_renders():
     out = dev.render_samples(512)
     assert out.shape == (512, 2)
     assert np.isfinite(out).all() and np.abs(out).max() > 1e-4
+
+
+def _legacy_payload(rng, ev_az, ir_size):
+    """Mono 16-bit HRIRs + whole-sample delays shared by MinPHR00/01/02."""
+    ir_total = sum(ev_az)
+    coeffs = rng.integers(-20000, 20000, (ir_total, ir_size), np.int16)
+    delays = rng.integers(0, 40, ir_total, dtype=np.uint8)
+    return coeffs, delays
+
+
+def test_legacy_mhr01_matches_mhr02(tmp_path):
+    """MinPHR01 loads into the same store as an equivalent mono MinPHR02
+    (hrtf_loader.cpp:278-343 vs :346-580)."""
+    import struct
+
+    rng = np.random.default_rng(5)
+    ev_az = [1, 9, 16, 9, 1]
+    ir_size = 16
+    coeffs, delays = _legacy_payload(rng, ev_az, ir_size)
+
+    p1 = tmp_path / "a.mhr"
+    blob = b"MinPHR01" + struct.pack("<IBB", 44100, ir_size, len(ev_az))
+    blob += bytes(ev_az) + coeffs.astype("<i2").tobytes() + delays.tobytes()
+    p1.write_bytes(blob)
+
+    p2 = tmp_path / "b.mhr"
+    blob2 = b"MinPHR02" + struct.pack("<IBBBB", 44100, 0, 0, ir_size, 1)
+    blob2 += struct.pack("<HB", 0, len(ev_az)) + bytes(ev_az)
+    blob2 += coeffs.astype("<i2").tobytes() + delays.tobytes()
+    p2.write_bytes(blob2)
+
+    a = hrtf.load_mhr(str(p1))
+    b = hrtf.load_mhr(str(p2))
+    np.testing.assert_array_equal(a.coeffs, b.coeffs)
+    np.testing.assert_array_equal(a.delays, b.delays)
+    np.testing.assert_array_equal(a.elev_az_counts, b.elev_az_counts)
+    assert a.sample_rate == 44100 and a.ir_size == ir_size
+
+
+def test_legacy_mhr00_loads(tmp_path):
+    """MinPHR00's explicit IR-offset table (hrtf_loader.cpp:192-276)."""
+    import struct
+
+    rng = np.random.default_rng(6)
+    ev_az = [1, 9, 16, 9, 1]
+    ir_size = 16
+    ir_total = sum(ev_az)
+    coeffs, delays = _legacy_payload(rng, ev_az, ir_size)
+    offsets = np.concatenate([[0], np.cumsum(ev_az)[:-1]]).astype("<u2")
+
+    p0 = tmp_path / "c.mhr"
+    blob = b"MinPHR00" + struct.pack("<IHHB", 44100, ir_total, ir_size,
+                                     len(ev_az))
+    blob += offsets.tobytes() + coeffs.astype("<i2").tobytes() + delays.tobytes()
+    p0.write_bytes(blob)
+
+    st = hrtf.load_mhr(str(p0))
+    assert list(st.elev_az_counts) == ev_az
+    # Mirrored: the right-ear response of azimuth j equals the left ear of
+    # azimuth (azn-j)%azn within the elevation.
+    off, azn = 1, 9   # second elevation row
+    np.testing.assert_array_equal(st.coeffs[off + 2, :, 1],
+                                  st.coeffs[off + (azn - 2) % azn, :, 0])
