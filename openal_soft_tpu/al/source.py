@@ -105,6 +105,8 @@ class Source:
             if v is not None and v.source_id == self.id:
                 v.is_stream = True
                 v.queue.extend(self._buffer_item(b) for b in bufs)
+                if any(b.callback is not None for b in bufs):
+                    self.context._cb_scan_due = True
 
     def buffers_processed(self) -> int:
         """AL_BUFFERS_PROCESSED (al/source.cpp:1851-1862): queue entries the

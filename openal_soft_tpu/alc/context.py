@@ -61,6 +61,12 @@ class Context:
         self.filters: dict[int, object] = {}
         self.aux_slots: dict[int, object] = {}
         self.deferred = False
+        # Callback-buffer voices need the per-dispatch feed + pack; the flag
+        # is rescanned only when the playing population changes.
+        self._has_cb_voices = False
+        self._cb_scan_due = False
+        self._horizon_unbounded = False
+        self._packed_this_update = False
         # AL_SOFTX_hold_on_disconnect (core/context.h:94): keep voices
         # playing through a device disconnect instead of stopping them.
         self.hold_on_disconnect = False
@@ -181,8 +187,10 @@ class Context:
     # --- block-boundary processing (mixer-thread side in the reference) ---
 
     def process_updates(self, block_len: int = 1024) -> None:
+        updated = bool(self.voice_changes)
         self._process_voice_changes()
         if self.deferred:
+            self._packed_this_update = False
             return
         force = self._listener_dirty
         if force:
@@ -199,14 +207,40 @@ class Context:
                 self._update_voice_params(v)
                 v.props_dirty = False
                 self.device.mark_config_dirty()
-        self._feed_callbacks(block_len)
-        self._pack_block_fields(block_len)
+                updated = True
+        if self._cb_scan_due:
+            self._has_cb_voices = any(
+                v.rows and v.state == PlayState.PLAYING
+                and any(it.callback is not None for it in v.queue)
+                for v in self.voices)
+            self._cb_scan_due = False
+        if self._has_cb_voices:
+            self._feed_callbacks(block_len)
+        # Steady-state short-circuit: with no host-side change the row pack
+        # would rewrite the table with the values it already holds (the
+        # device evolves its own copy) — at 4096 voices the per-voice
+        # Python walk costs more than a block.  The device packs all
+        # contexts' mirrors anyway before any config/ev re-upload
+        # (_render_dispatch_inner), so skipping here can never leave a
+        # stale mirror visible to the device.
+        if updated or force or self._has_cb_voices:
+            self._pack_block_fields(block_len)
+            self._packed_this_update = True
+        else:
+            self._packed_this_update = False
 
     def event_horizon_blocks(self, T: int) -> int:
         """Blocks until the next host-visible event (voice end, queue item
         transition, first loop wrap, stop fade).  Within this horizon the
         per-block parameter update pass is a no-op, so the device can run
-        multiple blocks per dispatch."""
+        multiple blocks per dispatch.
+
+        An all-looping steady population has no horizon at all; that result
+        is cached while the device config stays live (any scene change
+        invalidates it by dirtying the config), skipping the per-voice walk
+        on every dispatch."""
+        if self._horizon_unbounded and self.device._cfg_dev is not None:
+            return 1 << 30
         horizon = 1 << 30
         for v in self.voices:
             if not v.rows:
@@ -229,12 +263,15 @@ class Context:
             cur = (v.position << 16) + v.position_frac
             n = (limit_frac - cur) // per_block  # blocks fully before limit
             horizon = min(horizon, max(int(n), 1))
+        self._horizon_unbounded = (horizon >= (1 << 29)
+                                   and self.device._cfg_dev is not None)
         return max(horizon, 1)
 
     def _process_voice_changes(self) -> None:
         """ProcessVoiceChanges (alu.cpp:2051-2145)."""
         if self.voice_changes:
             self.device.mark_config_dirty()
+            self._cb_scan_due = True
         for ch in self.voice_changes:
             if ch.kind in (VChange.RESET, VChange.STOP):
                 v = ch.voice

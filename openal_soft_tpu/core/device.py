@@ -595,7 +595,27 @@ class RenderDevice:
         sig = tuple(getattr(s.state, "state_signature", lambda: s.effect_type)()
                     for s in self.slots)
         counts = tuple(len(self._uhj_groups[k]) for k in ("u2", "u3", "u4", "ss"))
-        return sig + (("uhj",) + counts if any(counts) else ())
+        return (sig + (("uhj",) + counts if any(counts) else ())
+                + self._graph_gates())
+
+    def _graph_gates(self) -> tuple:
+        """Scene-profile flags that statically prune the block graph.
+
+        Host-known facts the traced graph cannot see (all arrays look live
+        to XLA): when no voice has a direct filter, the biquad stage drops
+        out; when nothing feeds the dry ambisonic bus in per-voice-HRIR
+        mode, the dry mix + band-split + direct decode drop out.  The flags
+        ride the static chain signature, so a profile change just selects a
+        different cached graph."""
+        g = []
+        t = self.table
+        if not bool(t.filter_active[t.active].any()):
+            g.append("gate:nofilt")
+        if (self.layout.mode == panning.RenderMode.HRTF and not self.slots
+                and self.nfc is None
+                and not bool(np.any(t.dry_tgt[t.active]))):
+            g.append("gate:nodry")
+        return tuple(g)
 
     # --- device state pytree ---
 
@@ -643,7 +663,8 @@ class RenderDevice:
     def _render_one(self, state: dict, ev: dict, cfg: dict, pool: jax.Array,
                     T: int, taps: int, rs_plan: tuple | None = None,
                     axis_name: str | None = None,
-                    x_pre: jax.Array | None = None):
+                    x_pre: jax.Array | None = None,
+                    gates: tuple = ()):
         """One block: returns (out [C,T], state', ev').
 
         With ``axis_name`` set (multi-chip: called under shard_map with the
@@ -685,15 +706,26 @@ class RenderDevice:
         x = jnp.where(cfg["active"][:, None], x, 0.0)
         x, new_uhj = self._uhj_decode(x, state, cfg, T, axis_name)
 
-        y, z2, cf2, cnt2 = self._biquad(
-            x, state["filter_z"], ev["filter_coeffs"], cfg["filter_target"],
-            ev["filter_counter"], T)
-        x_mix = jnp.where(cfg["filter_active"][:, None], y, x)
         new_state = dict(state)
         new_state.update(new_uhj)
-        # Inactive filters are cleared each block (DoFilters, voice.cpp:254).
-        fa = cfg["filter_active"]
-        new_state["filter_z"] = jnp.where(fa[:, None, None], z2, 0.0)
+        if "gate:nofilt" in gates:
+            # Statically no direct filters: x passes through, the filter
+            # memories stay cleared and the interp schedule converged —
+            # bit-identical to the all-inactive dynamic path.
+            x_mix = x
+            new_state["filter_z"] = jnp.zeros_like(state["filter_z"])
+            cf2 = cfg["filter_target"]
+            cnt2 = jnp.zeros_like(ev["filter_counter"])
+            fa = None
+        else:
+            y, z2, cf2, cnt2 = self._biquad(
+                x, state["filter_z"], ev["filter_coeffs"],
+                cfg["filter_target"], ev["filter_counter"], T)
+            x_mix = jnp.where(cfg["filter_active"][:, None], y, x)
+            # Inactive filters are cleared each block (DoFilters,
+            # voice.cpp:254).
+            fa = cfg["filter_active"]
+            new_state["filter_z"] = jnp.where(fa[:, None, None], z2, 0.0)
 
         new_ev = dict(ev)
         pi2, pf2 = rs_ops.advance_positions(ev["pos_int"], ev["pos_frac"],
@@ -712,14 +744,27 @@ class RenderDevice:
                         pi2)
         new_ev["pos_int"], new_ev["pos_frac"] = pi2, pf2
         new_ev["has_wrapped"] = ev["has_wrapped"] | rebase
-        new_ev["filter_coeffs"] = jnp.where(fa[:, None, None], cf2,
-                                            cfg["filter_target"])
-        new_ev["filter_counter"] = jnp.where(fa, cnt2, 0)
+        if fa is None:
+            new_ev["filter_coeffs"] = cf2
+            new_ev["filter_counter"] = cnt2
+        else:
+            new_ev["filter_coeffs"] = jnp.where(fa[:, None, None], cf2,
+                                                cfg["filter_target"])
+            new_ev["filter_counter"] = jnp.where(fa, cnt2, 0)
         new_ev["fade"] = jnp.zeros_like(ev["fade"])
 
+        no_dry = "gate:nodry" in gates
         dry_tgt = jnp.where(cfg["playing"][:, None], cfg["dry_tgt"], 0.0)
         fade = min(GAIN_FADE_SAMPLES, T)
-        if self.nfc is not None:
+        if no_dry:
+            # Statically nothing feeds the dry ambisonic bus (per-voice-HRIR
+            # scene, no B-Format/UHJ voices, no slots, no NFC): the mix, the
+            # band-split and the baked direct decode all drop out.  Current
+            # gains land on their (zero) targets exactly as the 64-sample
+            # ramp would by block end.
+            dry = None
+            new_ev["dry_cur"] = dry_tgt
+        elif self.nfc is not None:
             # DoNfcMix (core/voice.cpp:660-691): order-0 channels mix the
             # unfiltered samples; each higher order mixes through its NFC
             # filter.  Rows without NFC (UHJ2/SuperStereo) bypass.
@@ -742,9 +787,10 @@ class RenderDevice:
         else:
             dry, dry_cur2 = mix_ops.mix_voices(x_mix, ev["dry_cur"], dry_tgt,
                                                ev["fade"], fade)
-        if axis_name is not None:
-            dry = jax.lax.psum(dry, axis_name)
-        new_ev["dry_cur"] = dry_cur2
+        if not no_dry:
+            if axis_name is not None:
+                dry = jax.lax.psum(dry, axis_name)
+            new_ev["dry_cur"] = dry_cur2
 
         # --- auxiliary sends + effect slots ------------------------------
         out_real_extra = None
@@ -802,12 +848,14 @@ class RenderDevice:
                 cfg["hrtf_old_gain"], ev["fade"], cfg["active"], T, fade)
             if axis_name is not None:
                 y_ext = jax.lax.psum(y_ext, axis_name)
-            # Dry ambi bus (B-Format/UHJ voices) through the baked decode.
-            scaled, sp2 = self._hrtf_splitter.hf_scale(
-                dry, state["direct_split"], self._direct_hf_scales)
-            new_state["direct_split"] = sp2
-            y_ext = y_ext + hrtf_mix.direct_hrtf_accum(
-                scaled, self._direct_coeffs, T)
+            if not no_dry:
+                # Dry ambi bus (B-Format/UHJ voices) through the baked
+                # decode.
+                scaled, sp2 = self._hrtf_splitter.hf_scale(
+                    dry, state["direct_split"], self._direct_hf_scales)
+                new_state["direct_split"] = sp2
+                y_ext = y_ext + hrtf_mix.direct_hrtf_accum(
+                    scaled, self._direct_coeffs, T)
             out, new_tail = hrtf_mix.fold_accum(y_ext, state["hrtf_tail"], T)
             new_state["hrtf_tail"] = new_tail
             if out_real_extra is not None:
@@ -925,14 +973,94 @@ class RenderDevice:
                                                state["send_filter_z"])
         if "nfc_z" in state:
             state["nfc_z"] = jnp.where(reset[:, None], 0.0, state["nfc_z"])
-        del chain  # only keys the jit cache: the slot set is traced via self
+        # chain keys the jit cache (slot set traced via self); its
+        # "gate:" entries statically prune stages inside _render_one.
+        gates = tuple(g for g in chain
+                      if isinstance(g, str) and g.startswith("gate:"))
         if n_blocks == 1:
             out, state, ev = self._render_one(state, ev, cfg, pool, T, taps,
-                                              rs_plan)
+                                              rs_plan, gates=gates)
             return out[None], state, ev
 
         sb = rs_plan[1] if (rs_plan is not None and rs_plan[0] == "unit"
                             and len(rs_plan) > 1) else 1
+        sb_f = sb
+        if sb_f <= 1 and rs_plan is None:
+            # The jnp gather resampler is window-size-agnostic (per-sample
+            # modular index resolution), so the fused path below also runs
+            # on the non-Pallas graph — any pitch, any loop length.
+            sb_f = next((c for c in self._RS_SUPER_BLOCKS
+                         if n_blocks % c == 0 and n_blocks >= c), 1)
+        fused_hrtf = (sb_f > 1 and n_blocks % sb_f == 0
+                      and "gate:nofilt" in gates and "gate:nodry" in gates
+                      and self.layout.mode == panning.RenderMode.HRTF
+                      and not self.slots and self._uhj_pad() == 0)
+        if fused_hrtf:
+            # Fused super-block HRTF path (PROFILE.md "multi-block HRTF
+            # contraction"): with filters, dry bus, sends and UHJ statically
+            # pruned, a whole super-block reduces to ONE resample kernel +
+            # ONE [V,192,2]x[V,HIST+sb*T] MXU contraction + skew-sum + fold.
+            # Correct for fades too: the envelope inside hrtf_voices_accum
+            # ramps over the first fade_len samples of the window and holds
+            # constant after — exactly the per-block evolution (fade only
+            # ever enters nonzero on the first block after a cfg upload,
+            # and the valid window/edge corrections scale with the window).
+            W = sb_f * T
+            pool2d = pool.reshape(-1, 128)
+            fade_len = min(GAIN_FADE_SAMPLES, T)
+            unit_kernel = sb > 1
+
+            def outer_f(carry, _):
+                st, e = carry
+                if unit_kernel:
+                    x_all = rs_unit.resample_voices_unit(
+                        pool2d, cfg["src_off"], cfg["src_len"],
+                        cfg["loop_start"], cfg["loop_end"], cfg["has_loop"],
+                        e["has_wrapped"], e["pos_int"], cfg["rs_unit_w"],
+                        W, taps)
+                else:
+                    x_all = rs_ops.resample_voices(
+                        pool, cfg["src_off"], cfg["src_len"],
+                        cfg["loop_start"], cfg["loop_end"], cfg["has_loop"],
+                        e["has_wrapped"], e["pos_int"], e["pos_frac"],
+                        cfg["increment"], cfg["bank_row"], cfg["sf"],
+                        self._bank, W, taps)
+                x_all = jnp.where(cfg["active"][:, None], x_all, 0.0)
+                x_cat = jnp.concatenate([st["hrtf_history"], x_all], axis=1)
+                g_eff = jnp.where(cfg["playing"], cfg["hrtf_gain"], 0.0)
+                y_ext = hrtf_mix.hrtf_voices_accum(
+                    x_cat, cfg["hrtf_coeffs"], cfg["hrtf_delay"], g_eff,
+                    cfg["hrtf_old_coeffs"], cfg["hrtf_old_delay"],
+                    cfg["hrtf_old_gain"], e["fade"], cfg["active"], W,
+                    fade_len)
+                out_sb, new_tail = hrtf_mix.fold_accum(
+                    y_ext, st["hrtf_tail"], W)
+                st2 = dict(st)
+                st2["hrtf_history"] = x_cat[:, W:]
+                st2["hrtf_tail"] = new_tail
+                st2["filter_z"] = jnp.zeros_like(st["filter_z"])
+                e2 = dict(e)
+                pi2, pf2 = rs_ops.advance_positions(
+                    e["pos_int"], e["pos_frac"], cfg["increment"],
+                    jnp.int32(W))
+                ll = jnp.maximum(cfg["loop_end"] - cfg["loop_start"], 1)
+                rebase = cfg["has_loop"] & (pi2 >= cfg["loop_end"])
+                pi2 = jnp.where(
+                    rebase,
+                    cfg["loop_start"] + (pi2 - cfg["loop_start"]) % ll, pi2)
+                e2["pos_int"], e2["pos_frac"] = pi2, pf2
+                e2["has_wrapped"] = e["has_wrapped"] | rebase
+                e2["filter_coeffs"] = cfg["filter_target"]
+                e2["filter_counter"] = jnp.zeros_like(e["filter_counter"])
+                e2["fade"] = jnp.zeros_like(e["fade"])
+                e2["dry_cur"] = jnp.where(cfg["playing"][:, None],
+                                          cfg["dry_tgt"], 0.0)
+                outs = out_sb.reshape(out_sb.shape[0], sb, T).swapaxes(0, 1)
+                return (st2, e2), outs
+
+            (state, ev), outs = jax.lax.scan(outer_f, (state, ev), None,
+                                             length=n_blocks // sb_f)
+            return outs.reshape((n_blocks,) + outs.shape[2:]), state, ev
         if sb > 1 and n_blocks % sb == 0:
             # Super-block resampling (PROFILE.md roadmap): the unit-increment
             # kernel's cost is dominated by per-voice scalar geometry + span
@@ -957,7 +1085,8 @@ class RenderDevice:
                     x_b = jax.lax.dynamic_slice_in_dim(x_all, b * T, T + pad,
                                                        axis=1)
                     out, st2, e2 = self._render_one(
-                        st2, e2, cfg, pool, T, taps, rs_plan, x_pre=x_b)
+                        st2, e2, cfg, pool, T, taps, rs_plan, x_pre=x_b,
+                        gates=gates)
                     return (st2, e2), out
 
                 (st, e), outs = jax.lax.scan(inner, (st, e),
@@ -970,7 +1099,8 @@ class RenderDevice:
 
         def body(carry, _):
             st, e = carry
-            out, st, e = self._render_one(st, e, cfg, pool, T, taps, rs_plan)
+            out, st, e = self._render_one(st, e, cfg, pool, T, taps,
+                                          rs_plan, gates=gates)
             return (st, e), out
 
         (state, ev), outs = jax.lax.scan(body, (state, ev), None,
@@ -1195,6 +1325,9 @@ class RenderDevice:
 
     _CHUNK_SIZES = (512, 256, 64, 8, 1)
     _GRAIN = 128  # kernel tiling unit: filters need T%32, HRTF/echo T%128
+    # Sub-chunk size for pipelined dispatch (horizons split into this many
+    # blocks per executable so output downloads overlap compute).
+    _PIPE_BLOCKS = 128
 
     def _render_dispatch(self, out: np.ndarray, done: int, remaining: int) -> int:
         if self._cpu_fallback:
@@ -1226,6 +1359,15 @@ class RenderDevice:
                     break
 
         if self._cfg_dev is None:
+            # The config (and possibly the evolving fields) re-upload from
+            # the host table: every context's row mirror must be current.
+            # Contexts skip the pack in steady state (see process_updates),
+            # so sync any that did not pack this round.
+            for ctx in self.contexts:
+                if not ctx._packed_this_update:
+                    ctx._pack_block_fields(BUFFER_LINE_SIZE)
+                    ctx._packed_this_update = True
+        if self._cfg_dev is None:
             self._refresh_uhj_groups()
             cfg = self._cfg_from_table()
             self._uhj_cfg(cfg)
@@ -1243,18 +1385,58 @@ class RenderDevice:
             self._ev_dev = None
         ev = (self._ev_dev if self._ev_dev is not None
               else self.table.evolving_dict())
-        # The render step donates (state, ev); a buffer appearing at two
-        # leaves (a shared zeros init, or XLA aliasing two identical
-        # outputs into one buffer) would be an invalid double-donation.
-        self._state = _dedupe_buffers(self._state)
-        ev = _dedupe_buffers(ev)
 
+        # Pipeline the dispatch: a long horizon splits into sub-chunks whose
+        # device→host output copies start as soon as each sub-chunk's
+        # executable finishes, overlapping the next sub-chunk's compute —
+        # the axon tunnel's ~30 ms latency / ~40 MB/s bandwidth would
+        # otherwise serialize behind the whole horizon's compute.  The
+        # host-side bookkeeping (process_updates / finish_chunk) stays
+        # per-horizon: the event-horizon guarantee covers every sub-chunk.
+        pipe = self._PIPE_BLOCKS
+        subs = ([n_blocks] if n_blocks <= pipe
+                else [pipe] * (n_blocks // pipe))
+        bookkept = False
         try:
-            blocks, self._state, self._ev_dev = self._render_chunk(
-                self._state, ev, self._cfg_dev, self.pool.device_array(), T,
-                n_blocks, self._taps, self._chain_signature(),
-                self._rs_plan(T, n_blocks))
-            arr = np.asarray(jax.device_get(blocks))       # [n_blocks, C, T]
+            pend = []
+            for i, nb in enumerate(subs):
+                # The render step donates (state, ev); a buffer appearing at
+                # two leaves (a shared zeros init, or XLA aliasing two
+                # identical outputs into one buffer) would be an invalid
+                # double-donation.
+                self._state = _dedupe_buffers(self._state)
+                ev = _dedupe_buffers(ev)
+                blocks, self._state, ev = self._render_chunk(
+                    self._state, ev, self._cfg_dev,
+                    self.pool.device_array(), T, nb, self._taps,
+                    self._chain_signature(), self._rs_plan(T, nb))
+                try:
+                    blocks.copy_to_host_async()
+                except (AttributeError, NotImplementedError):
+                    pass
+                pend.append(blocks)
+                if i == 0 and self._cfg_has_resets:
+                    # Reset mask consumed by the first sub-chunk; later ones
+                    # must not re-clear the evolved row state.  Swap just the
+                    # mask leaf (shapes unchanged: no retrace, no rebuild).
+                    cfg2 = dict(self._cfg_dev)
+                    cfg2["reset_rows"] = jnp.zeros_like(cfg2["reset_rows"])
+                    self._cfg_dev = cfg2
+                    self._cfg_has_resets = False
+            self._ev_dev = ev
+            # Host bookkeeping overlaps the in-flight device work: the
+            # mirror advance (finish_chunk) does not read the outputs.
+            # Snapshot the horizon-start mirror first — the CPU-fallback
+            # re-render needs it if a download below fails.
+            mirror_snap = {k: np.copy(getattr(self.table, k))
+                           for k in ParamTable._EVOLVING}
+            for ctx in self.contexts:
+                ctx.finish_chunk(T, n_blocks)
+            self._clock_samples += n_blocks * T
+            bookkept = True
+            arrs = [np.asarray(jax.device_get(b)) for b in pend]
+            arr = (np.concatenate(arrs) if len(arrs) > 1
+                   else arrs[0])                           # [n_blocks, C, T]
         except jax.errors.JaxRuntimeError as e:
             # Accelerator failure mid-render (the alu.cpp:2499 disconnect
             # analog): migrate the device state to XLA:CPU and re-render
@@ -1265,8 +1447,14 @@ class RenderDevice:
                     str(e).splitlines()[0] if str(e) else e)
             self._migrate_to_cpu()
             # The dead device's evolved copy is unreachable; the host
-            # mirror is bit-identical by design, so re-render from it.
-            ev = self.table.evolving_dict()
+            # mirror is bit-identical by design, so re-render the whole
+            # horizon from its start — the live table if bookkeeping has
+            # not run yet, the pre-advance snapshot if it has.
+            if bookkept:
+                ev = {k: jnp.asarray(v) for k, v in mirror_snap.items()}
+                ev["filter_counter"] = jnp.maximum(ev["filter_counter"], 0)
+            else:
+                ev = self.table.evolving_dict()
             with jax.default_device(self._cpu_dev):
                 blocks, self._state, self._ev_dev = self._render_chunk(
                     self._state, ev, self._cfg_dev,
@@ -1283,9 +1471,10 @@ class RenderDevice:
         if self._cfg_has_resets:
             self._cfg_dev = None  # reset mask consumed; rebuild next time
 
-        for ctx in self.contexts:
-            ctx.finish_chunk(T, n_blocks)
-        self._clock_samples += frames
+        if not bookkept:   # CPU-fallback re-render path
+            for ctx in self.contexts:
+                ctx.finish_chunk(T, n_blocks)
+            self._clock_samples += frames
         return served
 
     def _cfg_from_table(self) -> dict:

@@ -56,3 +56,30 @@ def test_partitioning_is_invariant(hrtf):
         parts.append(dev.render_samples(n))
         served += n
     check(np.concatenate(parts), whole[:served])
+
+
+def test_native_rate_hrtf_fused_invariance():
+    """Native-rate HRTF scenes select the fused super-block contraction
+    (core/device.py _render_chunk fused_hrtf): whole-window accumulation
+    must match per-block dispatches within float roundoff."""
+    def build():
+        dev = LoopbackDevice(frequency=RATE, channels="stereo",
+                             sample_type="float32", capacity=16, hrtf=True)
+        ctx = dev.create_context()
+        rng = np.random.default_rng(4)
+        t = np.arange(RATE // 2) / RATE
+        for i in range(3):
+            buf = ctx.create_buffer()
+            tone = (0.3 * np.sin(2 * np.pi * (220 + 110 * i) * t)).astype(f32)
+            buf.set_data(tone, "mono", "float32", RATE)
+            src = ctx.create_source()
+            src.buffer(buf)
+            src.looping = True
+            src.set("position", tuple(rng.standard_normal(3) * 2.0))
+            src.play()   # pitch 1.0: the unit/fused path
+        return dev
+
+    whole = build().render_samples(TOTAL)      # multi-block: fused window
+    dev = build()
+    blocks = [dev.render_samples(1024) for _ in range(TOTAL // 1024)]
+    np.testing.assert_allclose(np.concatenate(blocks), whole, atol=4e-6)

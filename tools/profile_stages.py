@@ -94,32 +94,56 @@ def main():
               f"   (scan total {total:7.1f} ms)")
 
     # --- stage: resample (pallas) ---
-    span, winw = rs_plan
+    if rs_plan[0] == "unit":
+        from openal_soft_tpu.ops.pallas import resample_unit as rs_unit
 
-    def st_resample(carry, cfg, pool):
-        x = rs_pallas.resample_voices_pallas2(
-            pool.reshape(-1, 128), cfg["src_off"], cfg["src_len"],
-            cfg["loop_start"], cfg["loop_end"], cfg["has_loop"],
-            carry["has_wrapped"], carry["pos_int"], carry["pos_frac"],
-            cfg["increment"], cfg["bank_row"], cfg["sf"],
-            d._bank_pad, T, taps, span, winw)
-        c = dict(carry)
-        c["acc"] = carry["acc"] + x[:, :8].sum()
-        return c
+        def st_resample(carry, cfg, pool):
+            x = rs_unit.resample_voices_unit(
+                pool.reshape(-1, 128), cfg["src_off"], cfg["src_len"],
+                cfg["loop_start"], cfg["loop_end"], cfg["has_loop"],
+                carry["has_wrapped"], carry["pos_int"], cfg["rs_unit_w"],
+                T, taps)
+            c = dict(carry)
+            c["acc"] = carry["acc"] + x[:, :8].sum()
+            return c
 
-    carry0 = {"has_wrapped": ev["has_wrapped"], "pos_int": ev["pos_int"],
-              "pos_frac": ev["pos_frac"], "acc": jnp.float32(0)}
-    report("resample(pallas):", scan_stage(st_resample), carry0, cfg, pool)
+        carry0 = {"has_wrapped": ev["has_wrapped"], "pos_int": ev["pos_int"],
+                  "acc": jnp.float32(0)}
+        report("resample(unit):", scan_stage(st_resample), carry0, cfg, pool)
 
-    # sample x for later stages
-    @jax.jit
-    def one_x(ev, cfg, pool):
-        return rs_pallas.resample_voices_pallas2(
-            pool.reshape(-1, 128), cfg["src_off"], cfg["src_len"],
-            cfg["loop_start"], cfg["loop_end"], cfg["has_loop"],
-            ev["has_wrapped"], ev["pos_int"], ev["pos_frac"],
-            cfg["increment"], cfg["bank_row"], cfg["sf"],
-            d._bank_pad, T, taps, span, winw)
+        @jax.jit
+        def one_x(ev, cfg, pool):
+            return rs_unit.resample_voices_unit(
+                pool.reshape(-1, 128), cfg["src_off"], cfg["src_len"],
+                cfg["loop_start"], cfg["loop_end"], cfg["has_loop"],
+                ev["has_wrapped"], ev["pos_int"], cfg["rs_unit_w"],
+                T, taps)
+    else:
+        span, winw = rs_plan[1], rs_plan[2]
+
+        def st_resample(carry, cfg, pool):
+            x = rs_pallas.resample_voices_pallas2(
+                pool.reshape(-1, 128), cfg["src_off"], cfg["src_len"],
+                cfg["loop_start"], cfg["loop_end"], cfg["has_loop"],
+                carry["has_wrapped"], carry["pos_int"], carry["pos_frac"],
+                cfg["increment"], cfg["bank_row"], cfg["sf"],
+                d._bank_pad, T, taps, span, winw)
+            c = dict(carry)
+            c["acc"] = carry["acc"] + x[:, :8].sum()
+            return c
+
+        carry0 = {"has_wrapped": ev["has_wrapped"], "pos_int": ev["pos_int"],
+                  "pos_frac": ev["pos_frac"], "acc": jnp.float32(0)}
+        report("resample(pallas):", scan_stage(st_resample), carry0, cfg, pool)
+
+        @jax.jit
+        def one_x(ev, cfg, pool):
+            return rs_pallas.resample_voices_pallas2(
+                pool.reshape(-1, 128), cfg["src_off"], cfg["src_len"],
+                cfg["loop_start"], cfg["loop_end"], cfg["has_loop"],
+                ev["has_wrapped"], ev["pos_int"], ev["pos_frac"],
+                cfg["increment"], cfg["bank_row"], cfg["sf"],
+                d._bank_pad, T, taps, span, winw)
 
     x = one_x(ev, cfg, pool)
 
@@ -176,13 +200,15 @@ def main():
         ts.append(time.perf_counter() - t0)
     print(f"render_samples(1024):  {float(np.median(ts) * 1e3):8.3f} ms"
           f"  (p99 {float(np.percentile(ts, 99) * 1e3):.3f})")
-    ts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        dev.render_samples(64 * block)
-        ts.append((time.perf_counter() - t0) / 64)
-    ms = float(np.median(ts) * 1e3)
-    print(f"render_samples(64x):   {ms:8.3f} ms/block  -> {21.333 / ms:.1f}x realtime")
+    for horizon in (64, 512):
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            dev.render_samples(horizon * block)
+            ts.append((time.perf_counter() - t0) / horizon)
+        ms = float(np.median(ts) * 1e3)
+        print(f"render_samples({horizon:3d}x):  {ms:8.3f} ms/block"
+              f"  -> {21.333 / ms:.1f}x realtime")
 
 
 if __name__ == "__main__":
