@@ -386,6 +386,48 @@ ALenum alGetEnumValue(const ALchar *ename)
         call_long("alGetEnumValue", Py_BuildValue("(s)", ename)));
 }
 
+/* Direct variants of the hand-written query entry points (the generated
+ * table covers the rest; these take pointer/string payloads). */
+ALenum alGetErrorDirect(ALCcontext *context)
+{
+    ensure_init();
+    Gil gil;
+    return static_cast<ALenum>(call_long(
+        "alDirectCall", Py_BuildValue("(sO)", "alGetError",
+                                      static_cast<PyObject*>(context))));
+}
+
+const ALchar *alGetStringDirect(ALCcontext *context, ALenum param)
+{
+    ensure_init();
+    Gil gil;
+    return call_string(
+        "alDirectCall", Py_BuildValue("(sOi)", "alGetString",
+                                      static_cast<PyObject*>(context),
+                                      static_cast<int>(param)));
+}
+
+ALboolean alIsExtensionPresentDirect(ALCcontext *context,
+                                     const ALchar *extname)
+{
+    ensure_init();
+    Gil gil;
+    return static_cast<ALboolean>(call_long(
+        "alDirectCall", Py_BuildValue("(sOs)", "alIsExtensionPresent",
+                                      static_cast<PyObject*>(context),
+                                      extname)));
+}
+
+ALenum alGetEnumValueDirect(ALCcontext *context, const ALchar *ename)
+{
+    ensure_init();
+    Gil gil;
+    return static_cast<ALenum>(call_long(
+        "alDirectCall", Py_BuildValue("(sOs)", "alGetEnumValue",
+                                      static_cast<PyObject*>(context),
+                                      ename)));
+}
+
 /* ==== buffer data ========================================================= */
 
 void alBufferData(ALuint buffer, ALenum format, const ALvoid *data,
@@ -399,6 +441,19 @@ void alBufferData(ALuint buffer, ALenum format, const ALvoid *data,
                                    static_cast<int>(format), bytes,
                                    static_cast<int>(freq));
     call_void("alBufferDataRaw", args);
+}
+
+void alBufferDataDirect(ALCcontext *context, ALuint buffer, ALenum format,
+                        const ALvoid *data, ALsizei size, ALsizei freq)
+{
+    Gil gil;
+    PyObject *bytes = PyBytes_FromStringAndSize(
+        static_cast<const char*>(data), size);
+    PyObject *args = Py_BuildValue("(sOIiNi)", "alBufferDataRaw",
+                                   static_cast<PyObject*>(context), buffer,
+                                   static_cast<int>(format), bytes,
+                                   static_cast<int>(freq));
+    call_void("alDirectCall", args);
 }
 
 void alBufferSubDataSOFT(ALuint buffer, ALenum format, const ALvoid *data,
@@ -728,14 +783,32 @@ void alGetObjectLabelEXT(ALenum identifier, ALuint name, ALsizei bufSize,
 void *alcGetProcAddress(ALCdevice *, const ALCchar *funcname)
 {
     if(!funcname) return nullptr;
-    void *self = dlopen(nullptr, RTLD_NOW);
-    (void)self;
+    /* Resolve inside this very shared object: a client that dlopens the
+     * library without RTLD_GLOBAL (ctypes' default) leaves our exports out
+     * of the global namespace, so RTLD_DEFAULT alone would miss them. */
+    static void *self_handle = [] {
+        Dl_info info{};
+        if(dladdr(reinterpret_cast<void*>(&alcGetProcAddress), &info)
+           && info.dli_fname)
+            return dlopen(info.dli_fname, RTLD_NOW | RTLD_NOLOAD);
+        return static_cast<void*>(nullptr);
+    }();
+    if(self_handle)
+        if(void *sym = dlsym(self_handle, funcname))
+            return sym;
     return dlsym(RTLD_DEFAULT, funcname);
 }
 
 void *alGetProcAddress(const ALchar *funcname)
 {
     return alcGetProcAddress(nullptr, funcname);
+}
+
+/* ALC_EXT_direct_context (alc/inprogext.h alcGetProcAddress2): same
+ * resolution, device-scoped — the Direct variants resolve through here. */
+void *alcGetProcAddress2(ALCdevice *device, const ALCchar *funcname)
+{
+    return alcGetProcAddress(device, funcname);
 }
 
 } /* extern "C" */

@@ -611,6 +611,8 @@ class RenderDevice:
         t = self.table
         if not bool(t.filter_active[t.active].any()):
             g.append("gate:nofilt")
+        if not bool(t.send_filter_active[t.active].any()):
+            g.append("gate:nosendfilt")
         if (self.layout.mode == panning.RenderMode.HRTF and not self.slots
                 and self.nfc is None
                 and not bool(np.any(t.dry_tgt[t.active]))):
@@ -800,18 +802,29 @@ class RenderDevice:
             wet_bus = jnp.zeros((n_slots, B, T), jnp.float32)
             new_sendz = []
             new_scf, new_scnt = [], []
+            no_sendfilt = "gate:nosendfilt" in gates
             for snd in range(self.num_aux_sends):
-                ys, sz, scf, scnt = self._biquad(
-                    x, state["send_filter_z"][:, snd],
-                    ev["send_filter_coeffs"][:, snd],
-                    cfg["send_filter_target"][:, snd],
-                    ev["send_filter_counter"][:, snd], T)
-                sfa = cfg["send_filter_active"][:, snd]
-                xs = jnp.where(sfa[:, None], ys, x)
-                new_sendz.append(jnp.where(sfa[:, None, None], sz, 0.0))
-                new_scf.append(jnp.where(sfa[:, None, None], scf,
-                                         cfg["send_filter_target"][:, snd]))
-                new_scnt.append(jnp.where(sfa, scnt, 0))
+                if no_sendfilt:
+                    # Statically no send filters: bit-identical to the
+                    # all-inactive dynamic path without the biquad pass.
+                    xs = x
+                    new_sendz.append(
+                        jnp.zeros_like(state["send_filter_z"][:, snd]))
+                    new_scf.append(cfg["send_filter_target"][:, snd])
+                    new_scnt.append(
+                        jnp.zeros_like(ev["send_filter_counter"][:, snd]))
+                else:
+                    ys, sz, scf, scnt = self._biquad(
+                        x, state["send_filter_z"][:, snd],
+                        ev["send_filter_coeffs"][:, snd],
+                        cfg["send_filter_target"][:, snd],
+                        ev["send_filter_counter"][:, snd], T)
+                    sfa = cfg["send_filter_active"][:, snd]
+                    xs = jnp.where(sfa[:, None], ys, x)
+                    new_sendz.append(jnp.where(sfa[:, None, None], sz, 0.0))
+                    new_scf.append(jnp.where(sfa[:, None, None], scf,
+                                             cfg["send_filter_target"][:, snd]))
+                    new_scnt.append(jnp.where(sfa, scnt, 0))
                 group = jnp.where(cfg["wet_active"][:, snd],
                                   cfg["wet_slot"][:, snd], n_slots)
                 wet_tgt = jnp.where(cfg["playing"][:, None],
