@@ -1038,18 +1038,20 @@ class RenderDevice:
                         e["has_wrapped"], e["pos_int"], e["pos_frac"],
                         cfg["increment"], cfg["bank_row"], cfg["sf"],
                         self._bank, W, taps)
-                x_all = jnp.where(cfg["active"][:, None], x_all, 0.0)
-                x_cat = jnp.concatenate([st["hrtf_history"], x_all], axis=1)
+                # No active-mask on x_all: the contraction folds the active
+                # mask into the gain column, inactive rows' history garbage
+                # is cleared by the reset mask at (re)activation, and no
+                # other stage consumes x here.
                 g_eff = jnp.where(cfg["playing"], cfg["hrtf_gain"], 0.0)
-                y_ext = hrtf_mix.hrtf_voices_accum(
-                    x_cat, cfg["hrtf_coeffs"], cfg["hrtf_delay"], g_eff,
-                    cfg["hrtf_old_coeffs"], cfg["hrtf_old_delay"],
-                    cfg["hrtf_old_gain"], e["fade"], cfg["active"], W,
-                    fade_len)
+                y_ext = hrtf_mix.hrtf_voices_accum_split(
+                    st["hrtf_history"], x_all, cfg["hrtf_coeffs"],
+                    cfg["hrtf_delay"], g_eff, cfg["hrtf_old_coeffs"],
+                    cfg["hrtf_old_delay"], cfg["hrtf_old_gain"], e["fade"],
+                    cfg["active"], W, fade_len)
                 out_sb, new_tail = hrtf_mix.fold_accum(
                     y_ext, st["hrtf_tail"], W)
                 st2 = dict(st)
-                st2["hrtf_history"] = x_cat[:, W:]
+                st2["hrtf_history"] = x_all[:, W - hrtf_mix.HIST:]
                 st2["hrtf_tail"] = new_tail
                 st2["filter_z"] = jnp.zeros_like(st["filter_z"])
                 e2 = dict(e)

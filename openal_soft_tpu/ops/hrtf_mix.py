@@ -147,6 +147,76 @@ def hrtf_voices_accum(x_cat, coeffs, delay, gain, old_coeffs, old_delay,
     return skew_sum(P)
 
 
+def hrtf_voices_accum_split(hist, x, coeffs, delay, gain, old_coeffs,
+                            old_delay, old_gain, fade, active, T: int,
+                            fade_len: int):
+    """hrtf_voices_accum without materializing x_cat = [hist ++ x].
+
+    The steady branch contracts history and block samples separately and
+    concatenates the (tiny) P halves instead of the [L, HIST+T] sample
+    buffer — for the fused super-block path, where T is 8-16 blocks wide
+    and the concat alone would move hundreds of MB of HBM.  The fade
+    branch (at most one per config upload) concatenates and delegates.
+    """
+    def steady_branch(_):
+        g = jnp.where(active, gain, 0.0)
+        gc = coeffs * g[:, None, None]                       # [L, 192, 2]
+        P_h = jnp.einsum("vde,vn->edn", gc, hist,
+                         preferred_element_type=jnp.float32, precision=_HI)
+        P_x = jnp.einsum("vde,vn->edn", gc, x,
+                         preferred_element_type=jnp.float32, precision=_HI)
+        P = jnp.concatenate([P_h, P_x], axis=2)              # [2, 192, N]
+        k = jnp.arange(HIST, dtype=jnp.int32)
+        inv_head = k[None, None, :] < (HIST - delay)[:, :, None]
+        w_head = jnp.where(inv_head, hist[:, None, :], 0.0)
+        P_head = jnp.einsum("vde,ven->edn", gc, w_head,
+                            preferred_element_type=jnp.float32, precision=_HI)
+        inv_tail = k[None, None, :] >= (HIST - delay)[:, :, None]
+        w_tail = jnp.where(inv_tail, x[:, None, T - HIST:], 0.0)
+        P_tail = jnp.einsum("vde,ven->edn", gc, w_tail,
+                            preferred_element_type=jnp.float32, precision=_HI)
+        P = P.at[:, :, :HIST].add(-P_head)
+        return P.at[:, :, T:].add(-P_tail)
+
+    def fade_branch(_):
+        x_cat = jnp.concatenate([hist, x], axis=1)
+        N = HIST + T
+        j = jnp.arange(N, dtype=jnp.float32)
+        fading = (fade > 0)[:, None, None]
+        act = active[:, None, None]
+
+        def shifted_env(d, kind):
+            arg = (j[None, None, :] - HIST
+                   + d[:, :, None].astype(jnp.float32))
+            if kind == "new":
+                step = (gain / jnp.float32(fade_len))[:, None, None]
+                ramp = jnp.where(
+                    (gain > GAIN_SILENCE_THRESHOLD)[:, None, None],
+                    step * arg, 0.0)
+                env = jnp.where(fading & (arg < fade_len), ramp,
+                                gain[:, None, None])
+            else:
+                step = (old_gain / jnp.float32(fade_len))[:, None, None]
+                env = jnp.where(
+                    fading & (arg < fade_len)
+                    & (old_gain > GAIN_SILENCE_THRESHOLD)[:, None, None],
+                    step * (jnp.float32(fade_len) - arg), 0.0)
+            valid = (arg >= 0.0) & (arg < T)
+            return jnp.where(valid & act, env, 0.0)
+
+        def one_set(c, env):
+            w = x_cat[:, None, :] * env
+            return jnp.einsum("vde,ven->edn", c, w,
+                              preferred_element_type=jnp.float32,
+                              precision=_HI)
+
+        return (one_set(coeffs, shifted_env(delay, "new"))
+                + one_set(old_coeffs, shifted_env(old_delay, "old")))
+
+    P = jax.lax.cond(jnp.any(fade > 0), fade_branch, steady_branch, None)
+    return skew_sum(P)
+
+
 def direct_hrtf_accum(chans, c_dir, T: int) -> jax.Array:
     """Direct B-Format→binaural (the FIR part of MixDirectHrtf), MXU form.
 
