@@ -328,6 +328,12 @@ class RenderDevice:
                                                       "surround3d71")
                 if decopt:
                     from . import ambdec as ambdec_mod
+                    from . import helpers
+                    # Relative preset names resolve through the data-file
+                    # search paths (SearchDataFiles "presets",
+                    # alc/panning.cpp:404-420).
+                    decopt = (helpers.find_data_file(
+                        decopt, ".ambdec", "presets") or decopt)
                     conf = ambdec_mod.load_ambdec(decopt)
                     custom_decoder = ambdec_mod.make_decoder(conf,
                                                              fmt_channels)

@@ -594,25 +594,14 @@ def resample_hrtf_store(store: HrtfStore, devrate: int) -> HrtfStore:
 
 def _data_dirs() -> list[str]:
     """HRTF search paths (SearchDataFiles, core/helpers.cpp + hrtf.cpp:430)."""
-    import os
-
     from ..alc import config as alconf
+    from . import helpers
 
     dirs: list[str] = []
     if pathopt := alconf.config_value_str("", "hrtf-paths"):
         dirs += [q.strip() for q in pathopt.split(",") if q.strip()]
-    if env := os.environ.get("ALSOFT_LOCAL_PATH"):
-        dirs.append(env)
-    xdg_home = os.environ.get("XDG_DATA_HOME",
-                              os.path.expanduser("~/.local/share"))
-    dirs.append(os.path.join(xdg_home, "openal", "hrtf"))
-    for d in os.environ.get("XDG_DATA_DIRS",
-                            "/usr/local/share:/usr/share").split(":"):
-        if d:
-            dirs.append(os.path.join(d, "openal", "hrtf"))
-    # The framework's own shipped data set(s) enumerate last.
-    dirs.append(os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "data", "hrtf"))
+    # Shared search-path chain (ALSOFT_LOCAL_PATH, XDG dirs, shipped data).
+    dirs += helpers.data_dirs("hrtf")
     return dirs
 
 

@@ -151,3 +151,23 @@ def test_legacy_mhr00_loads(tmp_path):
     off, azn = 1, 9   # second elevation row
     np.testing.assert_array_equal(st.coeffs[off + 2, :, 1],
                                   st.coeffs[off + (azn - 2) % azn, :, 0])
+
+
+def test_search_data_files(tmp_path, monkeypatch):
+    """SearchDataFiles chain (core/helpers.cpp:316-350): XDG dirs +
+    shipped data; relative names resolve through it."""
+    from openal_soft_tpu.core import helpers
+
+    d = tmp_path / "openal" / "presets"
+    d.mkdir(parents=True)
+    (d / "custom.ambdec").write_text("/description test\n")
+    monkeypatch.setenv("XDG_DATA_HOME", str(tmp_path))
+    files = helpers.search_data_files(".ambdec", "presets")
+    assert str(d / "custom.ambdec") in files
+    # Shipped presets are on the chain too.
+    assert any("openal_soft_tpu/data/presets" in f.replace("\\", "/")
+               for f in files)
+    # Relative name resolution (with and without the extension).
+    assert helpers.find_data_file("custom", ".ambdec", "presets") == \
+        str(d / "custom.ambdec")
+    assert helpers.find_data_file("itu5.1", ".ambdec", "presets") is not None
