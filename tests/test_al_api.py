@@ -80,3 +80,39 @@ def test_streaming_queue_roundtrip():
     al.alcRenderSamplesSOFT(dev, 2 * n)
     assert al.alGetSourcei(src, al.AL_SOURCE_STATE) == al.AL_STOPPED
     assert al.alGetSourcei(src, al.AL_BUFFERS_PROCESSED) == 3
+
+
+def test_buffer_subdata_and_map():
+    """AL_SOFT_buffer_sub_data / AL_SOFT_map_buffer: splice a byte range of
+    the original payload, map/patch/unmap, and verify the decoded pool data
+    follows (al/buffer.cpp:900-998)."""
+    dev = al.alcLoopbackOpenDeviceSOFT(44100, "stereo", "float32", capacity=8)
+    ctx = al.alcCreateContext(dev)
+    al.alcMakeContextCurrent(ctx)
+
+    buf = al.alGenBuffers()
+    first = (np.arange(100, dtype=np.int16) * 100)
+    al.alBufferDataRaw(buf, al.AL_FORMAT_MONO16, first.tobytes(), 44100)
+    b = ctx.buffers[buf]
+    assert b.sample_len == 100
+
+    # Sub-data splice: overwrite samples 10..19 with a constant.
+    patch = np.full(10, 31000, np.int16)
+    al.alBufferSubDataRawSOFT(buf, al.AL_FORMAT_MONO16, patch.tobytes(),
+                              10 * 2)
+    np.testing.assert_allclose(b.data[0, 10:20], 31000 / 32768.0, atol=1e-6)
+    np.testing.assert_allclose(b.data[0, :10], first[:10] / 32768.0,
+                               atol=1e-6)
+
+    # Map / write through the view / unmap re-decodes.
+    view = al.alMapBufferSOFT(buf, 0, 4)
+    view[:4] = np.array([-32768, 0], np.int16).tobytes()
+    al.alUnmapBufferSOFT(buf)
+    np.testing.assert_allclose(b.data[0, :2], [-1.0, 0.0], atol=1e-6)
+    # The spliced region survives the re-decode.
+    np.testing.assert_allclose(b.data[0, 10:20], 31000 / 32768.0, atol=1e-6)
+
+    # X-RAM storage-mode stubs round-trip.
+    assert al.alEAXGetBufferMode(buf) == al.AL_STORAGE_AUTOMATIC
+    assert al.alEAXSetBufferMode([buf], al.AL_STORAGE_HARDWARE)
+    assert al.alEAXGetBufferMode(buf) == al.AL_STORAGE_HARDWARE
