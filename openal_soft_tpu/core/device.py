@@ -1001,8 +1001,11 @@ class RenderDevice:
                                               rs_plan, gates=gates)
             return out[None], state, ev
 
-        sb = rs_plan[1] if (rs_plan is not None and rs_plan[0] == "unit"
-                            and len(rs_plan) > 1) else 1
+        unit_sb = rs_plan[1] if (rs_plan is not None and rs_plan[0] == "unit"
+                                 and len(rs_plan) > 1) else 1
+        gen_sb = rs_plan[3] if (rs_plan is not None and rs_plan[0] == "gen"
+                                and len(rs_plan) > 3) else 1
+        sb = max(unit_sb, gen_sb)
         sb_f = sb
         if sb_f <= 1 and rs_plan is None:
             # The jnp gather resampler is window-size-agnostic (per-sample
@@ -1027,16 +1030,22 @@ class RenderDevice:
             W = sb_f * T
             pool2d = pool.reshape(-1, 128)
             fade_len = min(GAIN_FADE_SAMPLES, T)
-            unit_kernel = sb > 1
 
             def outer_f(carry, _):
                 st, e = carry
-                if unit_kernel:
+                if unit_sb > 1:
                     x_all = rs_unit.resample_voices_unit(
                         pool2d, cfg["src_off"], cfg["src_len"],
                         cfg["loop_start"], cfg["loop_end"], cfg["has_loop"],
                         e["has_wrapped"], e["pos_int"], cfg["rs_unit_w"],
                         W, taps)
+                elif gen_sb > 1:
+                    x_all = rs_pallas.resample_voices_pallas2(
+                        pool2d, cfg["src_off"], cfg["src_len"],
+                        cfg["loop_start"], cfg["loop_end"], cfg["has_loop"],
+                        e["has_wrapped"], e["pos_int"], e["pos_frac"],
+                        cfg["increment"], cfg["bank_row"], cfg["sf"],
+                        self._bank_pad, W, taps, rs_plan[1], rs_plan[2])
                 else:
                     x_all = rs_ops.resample_voices(
                         pool, cfg["src_off"], cfg["src_len"],
@@ -1083,23 +1092,31 @@ class RenderDevice:
                                              length=n_blocks // sb_f)
             return outs.reshape((n_blocks,) + outs.shape[2:]), state, ev
         if sb > 1 and n_blocks % sb == 0:
-            # Super-block resampling (PROFILE.md roadmap): the unit-increment
-            # kernel's cost is dominated by per-voice scalar geometry + span
-            # DMA issue, so amortize — ONE kernel call covers sb consecutive
-            # blocks' windows (positions are contiguous at unit increment;
-            # loop seams still single per window by the _rs_plan loop_len
-            # bound), and each block consumes its slice.
+            # Super-block resampling (PROFILE.md roadmap): per-voice scalar
+            # geometry + span-DMA issue dominate the resample kernels, so
+            # amortize — ONE kernel call covers sb consecutive blocks'
+            # OUTPUT samples (output-indexed, so per-block slices are exact
+            # at any pitch; loop seams stay single per kernel row by the
+            # plan's span/loop bounds), and each block consumes its slice.
             pad = self._uhj_pad()
             T_sb = sb * T + pad
             pool2d = pool.reshape(-1, 128)
 
             def outer(carry, _):
                 st, e = carry
-                x_all = rs_unit.resample_voices_unit(
-                    pool2d, cfg["src_off"], cfg["src_len"],
-                    cfg["loop_start"], cfg["loop_end"], cfg["has_loop"],
-                    e["has_wrapped"], e["pos_int"], cfg["rs_unit_w"],
-                    T_sb, taps)
+                if unit_sb > 1:
+                    x_all = rs_unit.resample_voices_unit(
+                        pool2d, cfg["src_off"], cfg["src_len"],
+                        cfg["loop_start"], cfg["loop_end"], cfg["has_loop"],
+                        e["has_wrapped"], e["pos_int"], cfg["rs_unit_w"],
+                        T_sb, taps)
+                else:
+                    x_all = rs_pallas.resample_voices_pallas2(
+                        pool2d, cfg["src_off"], cfg["src_len"],
+                        cfg["loop_start"], cfg["loop_end"], cfg["has_loop"],
+                        e["has_wrapped"], e["pos_int"], e["pos_frac"],
+                        cfg["increment"], cfg["bank_row"], cfg["sf"],
+                        self._bank_pad, T_sb, taps, rs_plan[1], rs_plan[2])
 
                 def inner(c2, b):
                     st2, e2 = c2
@@ -1690,6 +1707,20 @@ class RenderDevice:
             return None   # sub-window loops fall back to the jnp gather path
         if self._bank_pad is None:
             self._bank_pad = rs_pallas.pad_bank_taps(tables.weight_bank())
+        # Multi-block windows for the general kernel too: one call per sb
+        # blocks when the whole super-block's source span still fits the
+        # largest span bucket (pitch-dependent — sb=8 at <=1x, 4 at <=2x).
+        # Per-row loop-seam/window constraints don't grow with T, so only
+        # the span bound gates this.
+        for sbc in self._RS_SUPER_BLOCKS:
+            if n_blocks >= sbc and n_blocks % sbc == 0:
+                need = ((((sbc * T + pad) - rs_pallas.LANE) * max_inc)
+                        >> MIXER_FRAC_BITS_) + winw + 1
+                if need <= rs_pallas.SPAN_BUCKETS[-1]:
+                    return ("gen",
+                            rs_pallas.span_for_increment(
+                                max_inc, sbc * T + pad, winw),
+                            winw, sbc)
         return ("gen", rs_pallas.span_for_increment(max_inc, T_res, winw),
                 winw)
 
