@@ -1707,12 +1707,14 @@ class RenderDevice:
             return None   # sub-window loops fall back to the jnp gather path
         if self._bank_pad is None:
             self._bank_pad = rs_pallas.pad_bank_taps(tables.weight_bank())
-        # Multi-block windows for the general kernel too: one call per sb
-        # blocks when the whole super-block's source span still fits the
-        # largest span bucket (pitch-dependent — sb=8 at <=1x, 4 at <=2x).
-        # Per-row loop-seam/window constraints don't grow with T, so only
-        # the span bound gates this.
-        for sbc in self._RS_SUPER_BLOCKS:
+        # Multi-block windows for the general kernel: one call per 2 blocks
+        # when the super-block source span fits a span bucket.  Capped at
+        # sb=2 — the kernel's per-row window-assembly loop is serial scalar
+        # work that scales with rows, so larger windows regress (measured:
+        # sb=4 cost 3.45 ms/block vs 2.68 per-block vs 2.58 at sb=2 on the
+        # 4096-voice mixed-pitch scene); vectorizing that loop is the
+        # follow-up that would unlock sb=8 (see PROFILE.md).
+        for sbc in (2,):
             if n_blocks >= sbc and n_blocks % sbc == 0:
                 need = ((((sbc * T + pad) - rs_pallas.LANE) * max_inc)
                         >> MIXER_FRAC_BITS_) + winw + 1
