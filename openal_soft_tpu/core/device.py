@@ -502,6 +502,7 @@ class RenderDevice:
         self._cpu_dev = None
         self._cfg_dev = None
         self._ev_dev = None   # device-evolved copy of the _EVOLVING fields
+        self._rs_shared = None   # shared-pool unit-kernel statics (w/ cfg)
         self._cfg_has_resets = False
         self._pending_resets = set()
         self.contexts: list = []
@@ -668,6 +669,24 @@ class RenderDevice:
 
     # --- the jitted block graph ---
 
+    def _unit_resample(self, pool2d, cfg: dict, ev: dict, W: int, taps: int,
+                       rs_plan: tuple):
+        """Dispatch the unit-increment resampler: shared-pool staging when
+        the plan carries the "sh" statics (active regions fit one VMEM
+        image — zero per-voice DMAs), per-voice span DMAs otherwise."""
+        if len(rs_plan) >= 3 and rs_plan[2] == "sh":
+            n256, n64, vrows = rs_plan[3], rs_plan[4], rs_plan[5]
+            return rs_unit.resample_voices_unit_shared(
+                pool2d, cfg["rs_off_vmem"], cfg["src_len"],
+                cfg["loop_start"], cfg["loop_end"], cfg["has_loop"],
+                ev["has_wrapped"], ev["pos_int"], cfg["rs_unit_w"],
+                cfg["rs_shared_chunks"], W, taps,
+                n256=n256, n64=n64, vrows=vrows)
+        return rs_unit.resample_voices_unit(
+            pool2d, cfg["src_off"], cfg["src_len"], cfg["loop_start"],
+            cfg["loop_end"], cfg["has_loop"], ev["has_wrapped"],
+            ev["pos_int"], cfg["rs_unit_w"], W, taps)
+
     def _render_one(self, state: dict, ev: dict, cfg: dict, pool: jax.Array,
                     T: int, taps: int, rs_plan: tuple | None = None,
                     axis_name: str | None = None,
@@ -692,11 +711,8 @@ class RenderDevice:
             # block consumes its slice.
             x = x_pre
         elif rs_plan is not None and rs_plan[0] == "unit":
-            x = rs_unit.resample_voices_unit(
-                pool.reshape(-1, 128), cfg["src_off"], cfg["src_len"],
-                cfg["loop_start"], cfg["loop_end"], cfg["has_loop"],
-                ev["has_wrapped"], ev["pos_int"], cfg["rs_unit_w"],
-                T_res, taps)
+            x = self._unit_resample(pool.reshape(-1, 128), cfg, ev, T_res,
+                                    taps, rs_plan)
         elif rs_plan is not None:
             span, winw = rs_plan[1], rs_plan[2]
             x = rs_pallas.resample_voices_pallas2(
@@ -1034,11 +1050,8 @@ class RenderDevice:
             def outer_f(carry, _):
                 st, e = carry
                 if unit_sb > 1:
-                    x_all = rs_unit.resample_voices_unit(
-                        pool2d, cfg["src_off"], cfg["src_len"],
-                        cfg["loop_start"], cfg["loop_end"], cfg["has_loop"],
-                        e["has_wrapped"], e["pos_int"], cfg["rs_unit_w"],
-                        W, taps)
+                    x_all = self._unit_resample(pool2d, cfg, e, W, taps,
+                                                rs_plan)
                 elif gen_sb > 1:
                     x_all = rs_pallas.resample_voices_pallas2(
                         pool2d, cfg["src_off"], cfg["src_len"],
@@ -1105,11 +1118,8 @@ class RenderDevice:
             def outer(carry, _):
                 st, e = carry
                 if unit_sb > 1:
-                    x_all = rs_unit.resample_voices_unit(
-                        pool2d, cfg["src_off"], cfg["src_len"],
-                        cfg["loop_start"], cfg["loop_end"], cfg["has_loop"],
-                        e["has_wrapped"], e["pos_int"], cfg["rs_unit_w"],
-                        T_sb, taps)
+                    x_all = self._unit_resample(pool2d, cfg, e, T_sb, taps,
+                                                rs_plan)
                 else:
                     x_all = rs_pallas.resample_voices_pallas2(
                         pool2d, cfg["src_off"], cfg["src_len"],
@@ -1530,6 +1540,21 @@ class RenderDevice:
             cfg["rs_unit_w"] = jnp.asarray(rs_unit.unit_weights_np(
                 self._bank, self.table.bank_row, self.table.sf,
                 self.table.pos_frac, self._taps))
+            # Shared-pool staging layout for the unit kernel (regions of
+            # the active buffers merged into one VMEM image).  None when
+            # the union exceeds the VMEM buckets -> per-voice-DMA kernel.
+            t = self.table
+            pool_rows = self.pool._host.size // 128
+            lay = rs_unit.shared_layout(
+                t.src_off, t.src_len, t.loop_start, t.loop_end,
+                t.has_loop, t.active, self._taps, pool_rows)
+            if lay is not None:
+                chunks, off_vmem, n256, n64, vrows = lay
+                cfg["rs_shared_chunks"] = jnp.asarray(chunks)
+                cfg["rs_off_vmem"] = jnp.asarray(off_vmem)
+                self._rs_shared = (n256, n64, vrows, pool_rows)
+            else:
+                self._rs_shared = None
         if self.nfc is not None:
             w0 = self.table.nfc_w0
             cf = self.nfc.adjust(np.maximum(w0, 0.0))
@@ -1692,11 +1717,20 @@ class RenderDevice:
             la = t.has_loop & act
             ll_min = int(loop_len[la].min()) if bool(la.any()) else (1 << 30)
             if ll_min >= T_res + self._taps:
+                # Shared-pool staging (one VMEM image, zero per-voice DMAs)
+                # when the active regions fit a VMEM bucket; the statics
+                # were computed alongside the current config upload.
+                sh = ()
+                if (self._rs_shared is not None
+                        and self._rs_shared[3] == self.pool._host.size // 128
+                        and self._cfg_dev is not None
+                        and "rs_off_vmem" in self._cfg_dev):
+                    sh = ("sh",) + self._rs_shared[:3]
                 for sbc in self._RS_SUPER_BLOCKS:
                     if (n_blocks >= sbc and n_blocks % sbc == 0
                             and ll_min >= sbc * T + pad + self._taps):
-                        return ("unit", sbc)
-                return ("unit",)
+                        return ("unit", sbc) + sh
+                return ("unit", 1) + sh if sh else ("unit",)
         if self.capacity % rs_pallas.NV != 0:
             return None
         max_inc = int(t.increment.max())

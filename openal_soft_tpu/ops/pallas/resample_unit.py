@@ -46,6 +46,18 @@ _PHASE_SHIFT = MIXER_FRAC_BITS - 5
 _PHASE_SUB_MASK = (1 << _PHASE_SHIFT) - 1
 _PHASE_SUB_SCALE = 1.0 / (1 << _PHASE_SHIFT)
 
+# Shared-pool variant (resample_voices_unit_shared): the union of the active
+# buffers' pool regions is DMA'd into ONE persistent VMEM image by grid
+# program 0 and every voice slices its window from VMEM — zero per-voice
+# DMAs.  PADMAX leading pad rows make pre-start / pre-seam window slices
+# in-bounds for any supported window (max super-block 16 blocks + UHJ pad:
+# K+1 <= 132); region addresses baked into the per-voice offsets by the
+# host layout are therefore window-size independent.
+PADMAX = 132
+VROWS_BUCKETS = (2048, 4096, 9216, 18944)   # region-area VMEM rows (f32)
+CHUNK_ALIGN = 64                            # region sizes round to this
+_CNT_ALIGN = 16                             # DMA-count bucket granularity
+
 
 def unit_weights_np(bank, bank_row, sf, pos_frac, taps: int):
     """Constant per-voice tap weights [V, taps] (phase fixed at pos_frac).
@@ -267,6 +279,275 @@ def _resample_unit(meta, w, pool2d, *, T, taps, nv=NV):
         out_shape=jax.ShapeDtypeStruct((V, rows, LANE), jnp.float32),
     )(meta, w.reshape(-1), pool2d)
     return out.reshape(V, T)
+
+
+def _kernel_shared(meta_sref,                # [V*8] int32 scalar prefetch
+                   w_sref,                   # [V*taps] f32 scalar prefetch
+                   ch_sref,                  # [2 + 2*(n256+n64)] int32
+                   pool_ref,                 # HBM [P/128, 128]
+                   out_ref,                  # [NV, rows, LANE] VMEM
+                   pvm_ref, sw_ref, sems,
+                   *, T: int, taps: int, nv: int, n256: int, n64: int,
+                   pvm_rows: int):
+    """Shared-pool unit resampler: program 0 DMAs the merged active-buffer
+    regions into one persistent VMEM image (scratch survives the sequential
+    TPU grid); every voice then slices its aligned window straight from
+    VMEM.  Replaces the per-voice span DMAs of `_kernel` — for scenes where
+    many voices share buffers (the common case: the reference's app model
+    is few buffers, many sources) this cuts both DMA descriptors and HBM
+    read bytes by the voices-per-buffer factor."""
+    rows = T // LANE
+    center = taps // 2 - 1
+    K = rows + 1
+    v0 = pl.program_id(0) * nv
+
+    # ---- program 0: stage the pool regions ---------------------------------
+    def chunk_copy(i, size, base, sem_i):
+        return pltpu.make_async_copy(
+            pool_ref.at[pl.ds(ch_sref[base + 2 * i], size)],
+            pvm_ref.at[pl.ds(ch_sref[base + 2 * i + 1], size)],
+            sems.at[sem_i])
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        c256, c64 = ch_sref[0], ch_sref[1]
+        for i in range(n256):
+            @pl.when(i < c256)
+            def _():
+                chunk_copy(i, 256, 2, i).start()
+        for i in range(n64):
+            @pl.when(i < c64)
+            def _():
+                chunk_copy(i, 64, 2 + 2 * n256, n256 + i).start()
+        for i in range(n256):
+            @pl.when(i < c256)
+            def _():
+                chunk_copy(i, 256, 2, i).wait()
+        for i in range(n64):
+            @pl.when(i < c64)
+            def _():
+                chunk_copy(i, 64, 2 + 2 * n256, n256 + i).wait()
+
+    def scalars(v):
+        b = (v0 + v) * 8
+        return (meta_sref[b + 0], meta_sref[b + 1], meta_sref[b + 2],
+                meta_sref[b + 3], meta_sref[b + 4] != 0,
+                meta_sref[b + 5] != 0, meta_sref[b + 6])
+
+    def voice_geometry(v):
+        # Same stream geometry as `_kernel`, but addresses are VMEM-image
+        # elements (the host baked region relocation + PADMAX*LANE into
+        # `off`), so images are direct slices — no span decomposition.
+        off, ln, ls, le, hl, hw, p0 = scalars(v)
+        ll = jnp.maximum(le - ls, 1)
+        b = p0 - center
+        b = jnp.where(hl & hw & (b < ls), b + ll, b)
+        rb = jnp.where(hl, b, jnp.minimum(b, jnp.maximum(ln - 1, 0)))
+        D = jnp.where(hl, le - rb, jnp.int32(1 << 30))
+        need2 = hl & (D < T + taps)
+        return rb, off + rb, D, off + ls - D, need2, ln, hl
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (K, LANE), 1)
+    m_iota = jax.lax.broadcasted_iota(jnp.int32, (K, LANE), 0) * LANE + lane
+
+    def build_body(v, carry):
+        rb, a1, D, a2, need2, ln, hl = voice_geometry(v)
+
+        def img(a):
+            f = a & (LANE - 1)
+            # The clamp only ever engages on the never-selected image 2 of
+            # clamped non-loop voices (a ~ -2^30); genuine pre-start /
+            # pre-seam slices stay in-bounds thanks to the PADMAX pad rows.
+            r0 = jnp.clip((a - f) >> 7, 0, pvm_rows - (K + 1))
+            S = pvm_ref[pl.ds(r0, K + 1)]
+            rolled = pltpu.roll(S, (LANE - f) & (LANE - 1), 1)
+            return jnp.where(lane < LANE - f, rolled[:K], rolled[1:])
+
+        sw_ref[v, 0] = img(a1)
+        lc = jnp.maximum(ln - 1, 0) - rb
+        fast = jnp.where(hl, ~need2 & (rb >= 0),
+                         (rb >= 0) & (lc >= T + taps - 1))
+
+        @pl.when(~fast)
+        def _():
+            sw_ref[v, 1] = img(a2)
+        return carry
+
+    for _v in range(nv):
+        build_body(_v, 0)
+
+    # ---- per-voice tap loop: identical to `_kernel` ------------------------
+    def taps_body(v, carry):
+        rb, a1, D, a2, need2, ln, hl = voice_geometry(v)
+        sw1 = sw_ref[v, 0]
+        lc = jnp.maximum(ln - 1, 0) - rb
+        wbase = (v0 + v) * taps
+        fast = jnp.where(hl, ~need2 & (rb >= 0),
+                         (rb >= 0) & (lc >= T + taps - 1))
+
+        @pl.when(fast)
+        def _():
+            acc = jnp.zeros((rows, LANE), jnp.float32)
+            for j in range(taps):
+                jl = (LANE - j) % LANE
+                a = pltpu.roll(sw1, jl, 1)
+                val = jnp.where(lane < LANE - j, a,
+                                pltpu.roll(a, K - 1, 0))
+                acc = acc + w_sref[wbase + j] * val[:rows]
+            out_ref[v] = acc
+
+        @pl.when(~fast)
+        def _():
+            sw2 = sw_ref[v, 1]
+            lci = jnp.clip(lc, 0, T + taps - 1)
+            last = jnp.sum(jnp.where(m_iota == lci, sw1, 0.0))
+            mthresh = -rb
+            acc = jnp.zeros((rows, LANE), jnp.float32)
+            for j in range(taps):
+                jl = (LANE - j) % LANE
+                x1 = pltpu.roll(sw1, jl, 1)
+                val1 = jnp.where(lane < LANE - j, x1,
+                                 pltpu.roll(x1, K - 1, 0))
+                x2 = pltpu.roll(sw2, jl, 1)
+                val2 = jnp.where(lane < LANE - j, x2,
+                                 pltpu.roll(x2, K - 1, 0))
+                mj = m_iota + j
+                val = jnp.where(hl & (mj >= D), val2, val1)
+                val = jnp.where(~hl & (mj > lc), last, val)
+                val = jnp.where((mj >= mthresh) & (ln > 0), val, 0.0)
+                acc = acc + w_sref[wbase + j] * val[:rows]
+            out_ref[v] = acc
+        return carry
+
+    for _v in range(nv):
+        taps_body(_v, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("T", "taps", "nv", "n256",
+                                             "n64", "vrows"))
+def _resample_unit_shared(meta, w, chunks, pool2d, *, T, taps, vrows,
+                          n256, n64, nv=NV):
+    V = meta.shape[0] // 8
+    rows = T // LANE
+    K = rows + 1
+    assert V % nv == 0 and T % LANE == 0 and K + 1 <= PADMAX
+    pvm_rows = PADMAX + vrows + K + 1
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(V // nv,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),           # pool (HBM)
+        ],
+        out_specs=pl.BlockSpec((nv, rows, LANE), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((pvm_rows, LANE), jnp.float32),
+            pltpu.VMEM((nv, 2, K, LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA((n256 + n64,)),
+        ],
+    )
+    kernel = functools.partial(_kernel_shared, T=T, taps=taps, nv=nv,
+                               n256=n256, n64=n64, pvm_rows=pvm_rows)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((V, rows, LANE), jnp.float32),
+    )(meta, w.reshape(-1), chunks, pool2d)
+    return out.reshape(V, T)
+
+
+def shared_layout(src_off, src_len, loop_start, loop_end, has_loop, active,
+                  taps: int, pool_rows: int):
+    """Host plan for the shared-pool kernel.
+
+    Merges the active voices' buffer extents into row-aligned pool regions,
+    allocates them consecutively in the VMEM image, and emits the staging
+    DMA chunk list (256-row bulk + 64-row tail descriptors).  Returns
+    ``(chunks int32[2+2*(n256+n64)], off_vmem int32[V], n256, n64, vrows)``
+    or ``None`` when the union exceeds the largest VMEM bucket (or a region
+    is too close to the pool end for aligned staging) — callers then fall
+    back to the per-voice-DMA kernel.
+    """
+    import numpy as np
+
+    act = np.asarray(active, bool)
+    off = np.asarray(src_off, np.int64)
+    end = off + np.maximum(np.asarray(src_len, np.int64),
+                           np.asarray(loop_end, np.int64)) + taps + 1
+    iv = []
+    for o, e in set(zip(off[act].tolist(), end[act].tolist())):
+        iv.append((o >> 7, -(-e // 128)))
+    iv.sort()
+    regions = []                      # (pool_row0, rows) merged, 64-aligned
+    for lo, hi in iv:
+        if regions and lo <= regions[-1][0] + regions[-1][1]:
+            pr, rr = regions[-1]
+            regions[-1] = (pr, max(rr, hi - pr))
+        else:
+            regions.append((lo, hi - lo))
+    regions = [(pr, -(-rr // CHUNK_ALIGN) * CHUNK_ALIGN)
+               for pr, rr in regions]
+    total = sum(rr for _, rr in regions)
+    vrows = next((b for b in VROWS_BUCKETS if total <= b), None)
+    if vrows is None:
+        return None
+    if any(pr + rr > pool_rows for pr, rr in regions):
+        return None                   # staging would read past the pool
+    c256, c64 = [], []
+    vr = PADMAX
+    deltas = []                       # (pool_row0, elem delta) per region
+    for pr, rr in regions:
+        deltas.append((pr, (vr - pr) * LANE))
+        p, v = pr, vr
+        while rr >= 256:
+            c256.append((p, v))
+            p, v, rr = p + 256, v + 256, rr - 256
+        while rr > 0:
+            c64.append((p, v))
+            p, v, rr = p + 64, v + 64, rr - 64
+        vr = v
+    n256 = max(-(-len(c256) // _CNT_ALIGN) * _CNT_ALIGN, _CNT_ALIGN)
+    n64 = max(-(-len(c64) // _CNT_ALIGN) * _CNT_ALIGN, _CNT_ALIGN)
+    chunks = np.zeros(2 + 2 * (n256 + n64), np.int32)
+    chunks[0], chunks[1] = len(c256), len(c64)
+    if c256:
+        chunks[2:2 + 2 * len(c256)] = np.asarray(c256, np.int32).ravel()
+    if c64:
+        b = 2 + 2 * n256
+        chunks[b:b + 2 * len(c64)] = np.asarray(c64, np.int32).ravel()
+    # Per-voice relocation: region containing off -> baked VMEM element
+    # offset.  Inactive voices park at the image start (memory-safe; their
+    # output is garbage that downstream masking already discards).
+    off_vmem = np.full(off.shape, PADMAX * LANE, np.int64)
+    starts = np.asarray([pr for pr, _ in deltas], np.int64)
+    dvals = np.asarray([d for _, d in deltas], np.int64)
+    if len(starts):
+        ri = np.searchsorted(starts, off >> 7, side="right") - 1
+        ri = np.clip(ri, 0, len(starts) - 1)
+        reloc = off + dvals[ri]
+        off_vmem = np.where(act, reloc, off_vmem)
+    return (chunks, off_vmem.astype(np.int32), int(n256), int(n64),
+            int(vrows))
+
+
+def resample_voices_unit_shared(pool2d, off_vmem, src_len, loop_start,
+                                loop_end, has_loop, has_wrapped, pos_int,
+                                weights, chunks, n: int, taps: int,
+                                n256: int, n64: int, vrows: int,
+                                nv: int = NV):
+    """Shared-pool drop-in for resample_voices_unit.
+
+    ``off_vmem``/``chunks`` come from shared_layout (baked VMEM-image
+    addresses); eligibility beyond the unit plan's: the active regions fit
+    a VROWS bucket (host-checked by shared_layout returning non-None)."""
+    z = jnp.zeros_like(off_vmem)
+    meta = jnp.stack([off_vmem, src_len, loop_start, loop_end,
+                      has_loop.astype(jnp.int32),
+                      has_wrapped.astype(jnp.int32),
+                      pos_int, z], axis=1).astype(jnp.int32).reshape(-1)
+    return _resample_unit_shared(meta, weights, chunks, pool2d, T=n,
+                                 taps=taps, vrows=vrows, n256=n256, n64=n64,
+                                 nv=nv)
 
 
 def resample_voices_unit(pool2d, src_off, src_len, loop_start, loop_end,

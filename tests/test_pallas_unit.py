@@ -20,7 +20,7 @@ from openal_soft_tpu.ops.pallas import resample_unit as ru
 
 
 def _run(L, T, taps, seed=0, loop=None, pos_lo=-40, pos_hi=30000,
-         src_len=31000, wrapped=None):
+         src_len=31000, wrapped=None, shared=False):
     rng = np.random.default_rng(seed)
     bank = tables.weight_bank()
     pool = jnp.asarray(rng.standard_normal(1 << 18).astype(np.float32))
@@ -41,8 +41,24 @@ def _run(L, T, taps, seed=0, loop=None, pos_lo=-40, pos_hi=30000,
                            else jnp.asarray(np.full(L, wrapped, bool)))
 
     w = ru.unit_weights_np(bank, bank_row, sf, pos_frac, taps)
-    y_unit = ru.resample_voices_unit(
-        pool.reshape(-1, 128), **args, weights=jnp.asarray(w), n=T, taps=taps)
+    if shared:
+        lay = ru.shared_layout(
+            np.asarray(args["src_off"]), np.asarray(args["src_len"]),
+            np.asarray(args["loop_start"]), np.asarray(args["loop_end"]),
+            np.asarray(args["has_loop"]), np.ones(L, bool), taps,
+            pool.size // 128)
+        assert lay is not None
+        chunks, off_vmem, n256, n64, vrows = lay
+        sargs = dict(args)
+        del sargs["src_off"]
+        y_unit = ru.resample_voices_unit_shared(
+            pool.reshape(-1, 128), jnp.asarray(off_vmem), **sargs,
+            weights=jnp.asarray(w), chunks=jnp.asarray(chunks),
+            n=T, taps=taps, n256=n256, n64=n64, vrows=vrows)
+    else:
+        y_unit = ru.resample_voices_unit(
+            pool.reshape(-1, 128), **args, weights=jnp.asarray(w),
+            n=T, taps=taps)
 
     bank_j = {k: jnp.asarray(v) for k, v in bank.items()}
     y_jnp = rs_ops.resample_voices(
@@ -73,6 +89,26 @@ def test_bsinc_taps():
 
 def test_uhj_padded_rows():
     _run(32, 1152, 4, seed=4)
+
+
+def test_shared_pool_variants():
+    # Shared-pool staging (one VMEM image, zero per-voice DMAs) must be
+    # bit-identical to the jnp path across the same eligibility cases.
+    _run(64, 1024, 4, seed=0, shared=True)
+    _run(32, 1024, 4, seed=1, pos_lo=28800, pos_hi=29990, src_len=30100,
+         shared=True)
+    _run(32, 1024, 4, seed=2, loop=False, pos_lo=-1050, pos_hi=5,
+         shared=True)
+    _run(32, 1024, 24, seed=3, shared=True)
+    _run(32, 1024, 4, seed=5, loop=True, wrapped=False, pos_lo=-40,
+         pos_hi=2, shared=True)
+
+
+def test_shared_pool_superblock():
+    # A 16-block super-block window through the shared image (the bench
+    # composition's window size; exercises the PADMAX headroom).
+    _run(32, 16 * 1024, 4, seed=7, loop=True, wrapped=True, src_len=31000,
+         shared=True)
 
 
 def test_looping_prestart():
