@@ -89,7 +89,7 @@ class VoiceProps:
     stereo_pan: tuple = (np.deg2rad(30.0), np.deg2rad(-30.0))
 
     radius: float = 0.0
-    enh_width: float = 0.593
+    enh_width: float = 0.46          # AL_SUPER_STEREO_WIDTH default (source.h:120)
     panning: float = 0.0
 
     direct_gain: float = 1.0

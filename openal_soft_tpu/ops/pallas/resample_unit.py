@@ -534,12 +534,25 @@ def resample_voices_unit_shared(pool2d, off_vmem, src_len, loop_start,
                                 loop_end, has_loop, has_wrapped, pos_int,
                                 weights, chunks, n: int, taps: int,
                                 n256: int, n64: int, vrows: int,
-                                nv: int = NV):
+                                nv: int = NV, active=None):
     """Shared-pool drop-in for resample_voices_unit.
 
     ``off_vmem``/``chunks`` come from shared_layout (baked VMEM-image
     addresses); eligibility beyond the unit plan's: the active regions fit
-    a VROWS bucket (host-checked by shared_layout returning non-None)."""
+    a VROWS bucket (host-checked by shared_layout returning non-None).
+
+    ``active`` zeroes inactive rows' geometry: they park at the image
+    start whose leading pad rows are *uninitialized* VMEM, and the fused
+    super-block consumer folds the active mask into a gain multiply —
+    0*NaN would poison the mix and persist via the HRTF history.  With
+    src_len==0/has_loop off the kernel's slow path masks every tap to an
+    exact 0.0 via select (never multiply), so no scratch value escapes."""
+    if active is not None:
+        src_len = jnp.where(active, src_len, 0)
+        has_loop = has_loop & active
+        pos_int = jnp.where(active, pos_int, 0)
+        loop_start = jnp.where(active, loop_start, 0)
+        loop_end = jnp.where(active, loop_end, 1)
     z = jnp.zeros_like(off_vmem)
     meta = jnp.stack([off_vmem, src_len, loop_start, loop_end,
                       has_loop.astype(jnp.int32),

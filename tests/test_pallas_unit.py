@@ -20,7 +20,7 @@ from openal_soft_tpu.ops.pallas import resample_unit as ru
 
 
 def _run(L, T, taps, seed=0, loop=None, pos_lo=-40, pos_hi=30000,
-         src_len=31000, wrapped=None, shared=False):
+         src_len=31000, wrapped=None, shared=False, active=None):
     rng = np.random.default_rng(seed)
     bank = tables.weight_bank()
     pool = jnp.asarray(rng.standard_normal(1 << 18).astype(np.float32))
@@ -42,10 +42,11 @@ def _run(L, T, taps, seed=0, loop=None, pos_lo=-40, pos_hi=30000,
 
     w = ru.unit_weights_np(bank, bank_row, sf, pos_frac, taps)
     if shared:
+        act = np.ones(L, bool) if active is None else np.asarray(active)
         lay = ru.shared_layout(
             np.asarray(args["src_off"]), np.asarray(args["src_len"]),
             np.asarray(args["loop_start"]), np.asarray(args["loop_end"]),
-            np.asarray(args["has_loop"]), np.ones(L, bool), taps,
+            np.asarray(args["has_loop"]), act, taps,
             pool.size // 128)
         assert lay is not None
         chunks, off_vmem, n256, n64, vrows = lay
@@ -54,7 +55,20 @@ def _run(L, T, taps, seed=0, loop=None, pos_lo=-40, pos_hi=30000,
         y_unit = ru.resample_voices_unit_shared(
             pool.reshape(-1, 128), jnp.asarray(off_vmem), **sargs,
             weights=jnp.asarray(w), chunks=jnp.asarray(chunks),
-            n=T, taps=taps, n256=n256, n64=n64, vrows=vrows)
+            n=T, taps=taps, n256=n256, n64=n64, vrows=vrows,
+            active=jnp.asarray(act))
+        if active is not None:
+            y = np.asarray(y_unit)
+            assert np.isfinite(y).all()
+            np.testing.assert_array_equal(y[~act], 0.0)
+            bank_j = {k: jnp.asarray(v) for k, v in bank.items()}
+            y_jnp = rs_ops.resample_voices(
+                pool, **args, pos_frac=jnp.asarray(pos_frac),
+                increment=jnp.asarray(np.full(L, 1 << 16, np.int32)),
+                bank_row=jnp.asarray(bank_row), sf=jnp.asarray(sf),
+                bank=bank_j, n=T, taps=taps)
+            np.testing.assert_array_equal(y[act], np.asarray(y_jnp)[act])
+            return
     else:
         y_unit = ru.resample_voices_unit(
             pool.reshape(-1, 128), **args, weights=jnp.asarray(w),
@@ -102,6 +116,20 @@ def test_shared_pool_variants():
     _run(32, 1024, 24, seed=3, shared=True)
     _run(32, 1024, 4, seed=5, loop=True, wrapped=False, pos_lo=-40,
          pos_hi=2, shared=True)
+
+
+def test_shared_pool_inactive_rows():
+    # Inactive voices park at the image start (uninitialized VMEM pad
+    # rows) with whatever stale geometry the meta carries; their output
+    # must be exact zeros — the fused super-block path consumes x_all
+    # without an active-mask select, so a NaN here would poison the mix
+    # and persist through the HRTF history.
+    rng = np.random.default_rng(11)
+    act = rng.integers(0, 2, 64).astype(bool)
+    act[:2] = [False, True]
+    _run(64, 1024, 4, seed=0, shared=True, active=act)
+    _run(64, 1024, 4, seed=1, pos_lo=28800, pos_hi=29990, src_len=30100,
+         shared=True, active=act)
 
 
 def test_shared_pool_superblock():
