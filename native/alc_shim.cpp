@@ -23,6 +23,7 @@
 #include <cstdio>
 #include <cstring>
 #include <map>
+#include <mutex>
 #include <string>
 
 using ALCdevice = void;
@@ -44,6 +45,7 @@ using ALvoid = void;
 using ALCvoid = void;
 using ALint64SOFT = long long;
 using ALuint64SOFT = unsigned long long;
+using ALbitfieldSOFT = unsigned int;
 
 using shim::Gil;
 using shim::call;
@@ -500,6 +502,146 @@ void alFlushMappedBufferSOFT(ALuint buffer, ALsizei offset, ALsizei length)
                             static_cast<int>(length)));
 }
 
+/* ==== AL_SOFT_callback_buffer (al/buffer.cpp:874) ========================= */
+
+namespace {
+
+using BufferCallback = ALsizei (*)(void *userptr, void *sampledata,
+                                   ALsizei numbytes);
+
+struct BufCb {
+    BufferCallback fn;
+    void *user;
+    int frame_bytes;
+};
+std::map<ALuint, BufCb> g_buf_cbs;
+std::mutex g_buf_cbs_mu;
+
+int format_frame_bytes(ALenum format)
+{
+    /* channels x sample bytes for the callback-capable formats
+     * (al/buffer.cpp:FmtFromUserFmt); callback buffers reject compressed
+     * block formats, so byte-per-frame is exact. */
+    switch(format) {
+    case 0x1100: return 1;           /* AL_FORMAT_MONO8 */
+    case 0x1101: return 2;           /* AL_FORMAT_MONO16 */
+    case 0x10010: return 4;          /* AL_FORMAT_MONO_FLOAT32 */
+    case 0x1102: return 2;           /* AL_FORMAT_STEREO8 */
+    case 0x1103: return 4;           /* AL_FORMAT_STEREO16 */
+    case 0x10011: return 8;          /* AL_FORMAT_STEREO_FLOAT32 */
+    default: return 4;
+    }
+}
+
+/* Python pulls `tramp(frames)`; the C callback fills raw bytes which the
+ * host-side feeder decodes per the registered format. */
+PyObject *buffer_cb_tramp(PyObject *self, PyObject *args)
+{
+    int frames;
+    if(!PyArg_ParseTuple(args, "i", &frames))
+        return nullptr;
+    ALuint buffer = static_cast<ALuint>(PyLong_AsUnsignedLong(self));
+    BufCb cb{};
+    {
+        std::lock_guard<std::mutex> lock(g_buf_cbs_mu);
+        auto it = g_buf_cbs.find(buffer);
+        if(it == g_buf_cbs.end()) return PyBytes_FromStringAndSize("", 0);
+        cb = it->second;
+    }
+    ALsizei numbytes = frames * cb.frame_bytes;
+    PyObject *out = PyBytes_FromStringAndSize(nullptr, numbytes);
+    if(!out) return nullptr;
+    ALsizei got = 0;
+    Py_BEGIN_ALLOW_THREADS
+    got = cb.fn(cb.user, PyBytes_AS_STRING(out), numbytes);
+    Py_END_ALLOW_THREADS
+    if(got < 0) got = 0;
+    if(got > numbytes) got = numbytes;
+    got -= got % cb.frame_bytes;
+    _PyBytes_Resize(&out, got);
+    return out;
+}
+
+PyMethodDef g_buffer_cb_tramp_def = {"_shim_buffer_cb_tramp",
+                                     buffer_cb_tramp, METH_VARARGS, nullptr};
+
+} // namespace
+
+void alBufferCallbackSOFT(ALuint buffer, ALenum format, ALsizei freq,
+                          BufferCallback callback, void *userptr)
+{
+    Gil gil;
+    {
+        std::lock_guard<std::mutex> lock(g_buf_cbs_mu);
+        if(callback)
+            g_buf_cbs[buffer] = BufCb{callback, userptr,
+                                      format_frame_bytes(format)};
+        else
+            g_buf_cbs.erase(buffer);
+    }
+    PyObject *self = PyLong_FromUnsignedLong(buffer);
+    PyObject *cb = callback
+        ? PyCFunction_New(&g_buffer_cb_tramp_def, self) : Py_NewRef(Py_None);
+    Py_XDECREF(self);
+    call_void("alBufferCallbackSOFT",
+              Py_BuildValue("(IiiN)", buffer, static_cast<int>(format),
+                            static_cast<int>(freq), cb));
+}
+
+void alBufferCallbackDirectSOFT(ALCcontext *context, ALuint buffer,
+                                ALenum format, ALsizei freq,
+                                BufferCallback callback, void *userptr)
+{
+    Gil gil;
+    {
+        std::lock_guard<std::mutex> lock(g_buf_cbs_mu);
+        if(callback)
+            g_buf_cbs[buffer] = BufCb{callback, userptr,
+                                      format_frame_bytes(format)};
+        else
+            g_buf_cbs.erase(buffer);
+    }
+    PyObject *self = PyLong_FromUnsignedLong(buffer);
+    PyObject *cb = callback
+        ? PyCFunction_New(&g_buffer_cb_tramp_def, self) : Py_NewRef(Py_None);
+    Py_XDECREF(self);
+    call_void("alDirectCall",
+              Py_BuildValue("(sOIiiN)", "alBufferCallbackSOFT",
+                            static_cast<PyObject*>(context), buffer,
+                            static_cast<int>(format), static_cast<int>(freq),
+                            cb));
+}
+
+/* Callback-buffer pointer queries (al/buffer.cpp alGetBufferPtrSOFT). */
+void alGetBufferPtrSOFT(ALuint buffer, ALenum param, void **ptr)
+{
+    std::lock_guard<std::mutex> lock(g_buf_cbs_mu);
+    auto it = g_buf_cbs.find(buffer);
+    if(param == 0x19A0)          /* AL_BUFFER_CALLBACK_FUNCTION_SOFT */
+        *ptr = it != g_buf_cbs.end()
+            ? reinterpret_cast<void*>(it->second.fn) : nullptr;
+    else if(param == 0x19A1)     /* AL_BUFFER_CALLBACK_USER_PARAM_SOFT */
+        *ptr = it != g_buf_cbs.end() ? it->second.user : nullptr;
+    else
+        *ptr = nullptr;
+}
+
+void alGetBuffer3PtrSOFT(ALuint buffer, ALenum param, void **p0, void **p1,
+                         void **p2)
+{
+    /* No 3-pointer buffer properties exist; zero-fill like the reference's
+     * invalid-enum path (al/buffer.cpp). */
+    (void)buffer; (void)param;
+    if(p0) *p0 = nullptr;
+    if(p1) *p1 = nullptr;
+    if(p2) *p2 = nullptr;
+}
+
+void alGetBufferPtrvSOFT(ALuint buffer, ALenum param, void **values)
+{
+    alGetBufferPtrSOFT(buffer, param, values);
+}
+
 /* ==== X-RAM (al/eax/x_ram.h) ============================================== */
 
 ALboolean alEAXSetBufferMode(ALsizei n, const ALuint *buffers, ALint value)
@@ -519,6 +661,42 @@ ALenum alEAXGetBufferMode(ALuint buffer, ALint *reserved)
     Gil gil;
     return static_cast<ALenum>(call_long(
         "alEAXGetBufferMode", Py_BuildValue("(I)", buffer)));
+}
+
+/* Canonical X-RAM export names (al/eax/x_ram.h exports them without the
+ * "al" prefix) plus their direct-context variants. */
+ALboolean EAXSetBufferMode(ALsizei n, const ALuint *buffers, ALint value)
+{
+    return alEAXSetBufferMode(n, buffers, value);
+}
+
+ALenum EAXGetBufferMode(ALuint buffer, ALint *reserved)
+{
+    return alEAXGetBufferMode(buffer, reserved);
+}
+
+ALboolean EAXSetBufferModeDirect(ALCcontext *context, ALsizei n,
+                                 const ALuint *buffers, ALint value)
+{
+    Gil gil;
+    PyObject *lst = PyList_New(n);
+    for(ALsizei i = 0; i < n; ++i)
+        PyList_SET_ITEM(lst, i, PyLong_FromUnsignedLong(buffers[i]));
+    return static_cast<ALboolean>(call_long(
+        "alDirectCall", Py_BuildValue("(sONi)", "alEAXSetBufferMode",
+                                      static_cast<PyObject*>(context), lst,
+                                      static_cast<int>(value)), 1));
+}
+
+ALenum EAXGetBufferModeDirect(ALCcontext *context, ALuint buffer,
+                              ALint *reserved)
+{
+    if(reserved) *reserved = 0;
+    Gil gil;
+    return static_cast<ALenum>(call_long(
+        "alDirectCall", Py_BuildValue("(sOI)", "alEAXGetBufferMode",
+                                      static_cast<PyObject*>(context),
+                                      buffer)));
 }
 
 /* ==== EAXSet / EAXGet (al/eax/api.cpp ABI) ================================ */
@@ -778,6 +956,434 @@ void alGetObjectLabelEXT(ALenum identifier, ALuint name, ALsizei bufSize,
     Py_XDECREF(r);
 }
 
+/* ==== ALC_SOFT_system_events (alc/events.cpp) ============================= */
+
+namespace {
+
+using AlcEventProc = void (*)(ALCenum eventType, ALCenum deviceType,
+                              ALCdevice *device, ALCsizei length,
+                              const ALCchar *message, void *userParam);
+
+AlcEventProc g_alc_event_fn = nullptr;
+void *g_alc_event_user = nullptr;
+
+PyObject *alc_event_tramp(PyObject *, PyObject *args)
+{
+    int etype, dtype;
+    PyObject *device, *user;
+    const char *message;
+    if(!PyArg_ParseTuple(args, "iiOsO", &etype, &dtype, &device, &message,
+                         &user))
+        return nullptr;
+    AlcEventProc fn = g_alc_event_fn;
+    void *userp = g_alc_event_user;
+    if(fn) {
+        void *dev = device == Py_None ? nullptr
+                                      : static_cast<void*>(device);
+        Py_BEGIN_ALLOW_THREADS
+        fn(etype, dtype, dev, static_cast<ALCsizei>(strlen(message)),
+           message, userp);
+        Py_END_ALLOW_THREADS
+    }
+    Py_RETURN_NONE;
+}
+
+PyMethodDef g_alc_event_tramp_def = {"_shim_alc_event_tramp",
+                                     alc_event_tramp, METH_VARARGS, nullptr};
+
+} // namespace
+
+ALCboolean alcEventControlSOFT(ALCsizei count, const ALCenum *events,
+                               ALCboolean enable)
+{
+    ensure_init();
+    Gil gil;
+    PyObject *lst = PyList_New(count);
+    for(ALCsizei i = 0; i < count; ++i)
+        PyList_SET_ITEM(lst, i, PyLong_FromLong(events[i]));
+    return static_cast<ALCboolean>(call_long(
+        "alcEventControlSOFT", Py_BuildValue("(Ni)", lst, enable ? 1 : 0)));
+}
+
+void alcEventCallbackSOFT(AlcEventProc callback, void *userParam)
+{
+    ensure_init();
+    Gil gil;
+    g_alc_event_fn = callback;
+    g_alc_event_user = userParam;
+    PyObject *cb = callback
+        ? PyCFunction_New(&g_alc_event_tramp_def, nullptr)
+        : Py_NewRef(Py_None);
+    call_void("alcEventCallbackSOFT", Py_BuildValue("(N)", cb));
+}
+
+ALCenum alcEventIsSupportedSOFT(ALCenum eventType, ALCenum deviceType)
+{
+    ensure_init();
+    Gil gil;
+    return static_cast<ALCenum>(call_long(
+        "alcEventIsSupportedSOFT",
+        Py_BuildValue("(ii)", static_cast<int>(eventType),
+                      static_cast<int>(deviceType))));
+}
+
+const ALCchar *alcGetStringiSOFT(ALCdevice *device, ALCenum param,
+                                 ALCsizei index)
+{
+    ensure_init();
+    Gil gil;
+    PyObject *args = Py_BuildValue("(Oii)",
+        device ? static_cast<PyObject*>(device) : Py_None,
+        static_cast<int>(param), static_cast<int>(index));
+    return call_string("alcGetStringiSOFT", args);
+}
+
+/* ==== AL_EXT_debug message log + pointer queries ========================== */
+
+ALuint alGetDebugMessageLogEXT(ALuint count, ALsizei logBufSize,
+                               ALenum *sources, ALenum *types, ALuint *ids,
+                               ALenum *severities, ALsizei *lengths,
+                               ALchar *logBuf)
+{
+    Gil gil;
+    PyObject *r = call("alGetDebugMessageLogEXT",
+                       Py_BuildValue("(I)", count));
+    if(!r || !PyList_Check(r)) { Py_XDECREF(r); return 0; }
+    ALuint written = 0;
+    ALsizei bufpos = 0;
+    Py_ssize_t n = PyList_GET_SIZE(r);
+    for(Py_ssize_t i = 0; i < n; ++i) {
+        PyObject *t = PyList_GET_ITEM(r, i);
+        int src = 0, mtype = 0, sev = 0;
+        unsigned mid = 0;
+        const char *msg = "";
+        if(!PyArg_ParseTuple(t, "iiIis", &src, &mtype, &mid, &sev, &msg)) {
+            PyErr_Clear();
+            continue;
+        }
+        ALsizei mlen = static_cast<ALsizei>(strlen(msg)) + 1;
+        if(logBuf && bufpos + mlen > logBufSize)
+            break;
+        if(sources) sources[written] = src;
+        if(types) types[written] = mtype;
+        if(ids) ids[written] = mid;
+        if(severities) severities[written] = sev;
+        if(lengths) lengths[written] = mlen;
+        if(logBuf) {
+            memcpy(logBuf + bufpos, msg, static_cast<size_t>(mlen));
+            bufpos += mlen;
+        }
+        ++written;
+    }
+    Py_DECREF(r);
+    return written;
+}
+
+void *alGetPointerEXT(ALenum pname)
+{
+    switch(pname) {
+    case 0x19A2:    /* AL_EVENT_CALLBACK_FUNCTION_SOFT */
+        return reinterpret_cast<void*>(g_cbs.event_fn);
+    case 0x19A3:    /* AL_EVENT_CALLBACK_USER_PARAM_SOFT */
+        return g_cbs.event_user;
+    case 0x19B3:    /* AL_DEBUG_CALLBACK_FUNCTION_EXT */
+        return reinterpret_cast<void*>(g_cbs.debug_fn);
+    case 0x19B4:    /* AL_DEBUG_CALLBACK_USER_PARAM_EXT */
+        return g_cbs.debug_user;
+    default:
+        return nullptr;
+    }
+}
+
+void *alGetPointerSOFT(ALenum pname) { return alGetPointerEXT(pname); }
+
+void alGetPointervEXT(ALenum pname, void **values)
+{
+    if(values) *values = alGetPointerEXT(pname);
+}
+
+void alGetPointervSOFT(ALenum pname, void **values)
+{
+    alGetPointervEXT(pname, values);
+}
+
+/* ==== AL_SOFT_source_start_delay (v form) ================================= */
+
+void alSourcePlayAtTimevSOFT(ALsizei n, const ALuint *sources,
+                             ALint64SOFT start_time)
+{
+    Gil gil;
+    for(ALsizei k = 0; k < n; ++k)
+        call_void("alSourcePlayAtTimeSOFT",
+                  Py_BuildValue("(IL)", sources[k],
+                                static_cast<long long>(start_time)));
+}
+
+/* ==== AL_SOFT_buffer_storage / AL_EXT_STATIC_BUFFER ======================= */
+
+void alBufferStorageSOFT(ALuint buffer, ALenum format, const ALvoid *data,
+                         ALsizei size, ALsizei freq, ALbitfieldSOFT flags)
+{
+    Gil gil;
+    PyObject *bytes = PyBytes_FromStringAndSize(
+        static_cast<const char*>(data), size);
+    call_void("alBufferStorageSOFT",
+              Py_BuildValue("(IiNiI)", buffer, static_cast<int>(format),
+                            bytes, static_cast<int>(freq),
+                            static_cast<unsigned>(flags)));
+}
+
+void alBufferDataStatic(ALuint buffer, ALenum format, ALvoid *data,
+                        ALsizei size, ALsizei freq)
+{
+    Gil gil;
+    PyObject *bytes = PyBytes_FromStringAndSize(
+        static_cast<const char*>(data), size);
+    call_void("alBufferDataStatic",
+              Py_BuildValue("(IiNi)", buffer, static_cast<int>(format),
+                            bytes, static_cast<int>(freq)));
+}
+
+/* ==== Direct variants of the hand-written entries ========================= */
+/* AL_EXT_direct_context (al/direct_defs.h): explicit-context routing of
+ * every pointer/string-payload entry point alDirectCall can't generate. */
+
+void alBufferSubDataDirectSOFT(ALCcontext *context, ALuint buffer,
+                               ALenum format, const ALvoid *data,
+                               ALsizei offset, ALsizei length)
+{
+    Gil gil;
+    PyObject *bytes = PyBytes_FromStringAndSize(
+        static_cast<const char*>(data), length);
+    call_void("alDirectCall",
+              Py_BuildValue("(sOIiNi)", "alBufferSubDataRawSOFT",
+                            static_cast<PyObject*>(context), buffer,
+                            static_cast<int>(format), bytes,
+                            static_cast<int>(offset)));
+}
+
+void alBufferStorageDirectSOFT(ALCcontext *context, ALuint buffer,
+                               ALenum format, const ALvoid *data,
+                               ALsizei size, ALsizei freq,
+                               ALbitfieldSOFT flags)
+{
+    Gil gil;
+    PyObject *bytes = PyBytes_FromStringAndSize(
+        static_cast<const char*>(data), size);
+    call_void("alDirectCall",
+              Py_BuildValue("(sOIiNiI)", "alBufferStorageSOFT",
+                            static_cast<PyObject*>(context), buffer,
+                            static_cast<int>(format), bytes,
+                            static_cast<int>(freq),
+                            static_cast<unsigned>(flags)));
+}
+
+void alBufferDataStaticDirect(ALCcontext *context, ALuint buffer,
+                              ALenum format, ALvoid *data, ALsizei size,
+                              ALsizei freq)
+{
+    Gil gil;
+    PyObject *bytes = PyBytes_FromStringAndSize(
+        static_cast<const char*>(data), size);
+    call_void("alDirectCall",
+              Py_BuildValue("(sOIiNi)", "alBufferDataStatic",
+                            static_cast<PyObject*>(context), buffer,
+                            static_cast<int>(format), bytes,
+                            static_cast<int>(freq)));
+}
+
+void *alMapBufferDirectSOFT(ALCcontext *context, ALuint buffer,
+                            ALsizei offset, ALsizei length, ALenum access)
+{
+    (void)context; /* mapping state lives on the buffer object itself */
+    return alMapBufferSOFT(buffer, offset, length, access);
+}
+
+void alUnmapBufferDirectSOFT(ALCcontext *context, ALuint buffer)
+{
+    Gil gil;
+    call_void("alDirectCall",
+              Py_BuildValue("(sOI)", "alUnmapBufferSOFT",
+                            static_cast<PyObject*>(context), buffer));
+}
+
+void alFlushMappedBufferDirectSOFT(ALCcontext *context, ALuint buffer,
+                                   ALsizei offset, ALsizei length)
+{
+    Gil gil;
+    call_void("alDirectCall",
+              Py_BuildValue("(sOIii)", "alFlushMappedBufferSOFT",
+                            static_cast<PyObject*>(context), buffer,
+                            static_cast<int>(offset),
+                            static_cast<int>(length)));
+}
+
+void alSourcePlayAtTimevDirectSOFT(ALCcontext *context, ALsizei n,
+                                   const ALuint *sources,
+                                   ALint64SOFT start_time)
+{
+    Gil gil;
+    for(ALsizei k = 0; k < n; ++k)
+        call_void("alDirectCall",
+                  Py_BuildValue("(sOIL)", "alSourcePlayAtTimeSOFT",
+                                static_cast<PyObject*>(context), sources[k],
+                                static_cast<long long>(start_time)));
+}
+
+void alEventControlDirectSOFT(ALCcontext *context, ALsizei count,
+                              const ALenum *types, ALboolean enable)
+{
+    Gil gil;
+    PyObject *lst = PyList_New(count);
+    for(ALsizei i = 0; i < count; ++i)
+        PyList_SET_ITEM(lst, i, PyLong_FromLong(types[i]));
+    call_void("alDirectCall",
+              Py_BuildValue("(sONi)", "alEventControlSOFT",
+                            static_cast<PyObject*>(context), lst,
+                            enable ? 1 : 0));
+}
+
+void alEventCallbackDirectSOFT(ALCcontext *context,
+                               void (*callback)(ALenum, ALuint, ALuint,
+                                                ALsizei, const ALchar*,
+                                                void*),
+                               void *userParam)
+{
+    Gil gil;
+    g_cbs.event_fn = callback;
+    g_cbs.event_user = userParam;
+    PyObject *cb = callback
+        ? PyCFunction_New(&g_event_tramp_def, nullptr) : Py_NewRef(Py_None);
+    call_void("alDirectCall",
+              Py_BuildValue("(sON)", "alEventCallbackSOFT",
+                            static_cast<PyObject*>(context), cb));
+}
+
+void alDebugMessageCallbackDirectEXT(ALCcontext *context,
+                                     void (*callback)(ALenum, ALenum, ALuint,
+                                                      ALenum, ALsizei,
+                                                      const ALchar*, void*),
+                                     void *userParam)
+{
+    Gil gil;
+    g_cbs.debug_fn = callback;
+    g_cbs.debug_user = userParam;
+    PyObject *cb = callback
+        ? PyCFunction_New(&g_debug_tramp_def, nullptr) : Py_NewRef(Py_None);
+    call_void("alDirectCall",
+              Py_BuildValue("(sON)", "alDebugMessageCallbackEXT",
+                            static_cast<PyObject*>(context), cb));
+}
+
+void alDebugMessageInsertDirectEXT(ALCcontext *context, ALenum source,
+                                   ALenum type, ALuint id, ALenum severity,
+                                   ALsizei length, const ALchar *message)
+{
+    Gil gil;
+    call_void("alDirectCall",
+              Py_BuildValue("(sOiiIis#)", "alDebugMessageInsertEXT",
+                            static_cast<PyObject*>(context),
+                            static_cast<int>(source), static_cast<int>(type),
+                            id, static_cast<int>(severity), message,
+                            static_cast<Py_ssize_t>(
+                                length >= 0 ? length
+                                            : static_cast<ALsizei>(
+                                                strlen(message)))));
+}
+
+void alDebugMessageControlDirectEXT(ALCcontext *context, ALenum source,
+                                    ALenum type, ALenum severity,
+                                    ALsizei count, const ALuint *ids,
+                                    ALboolean enable)
+{
+    Gil gil;
+    PyObject *lst = PyList_New(count);
+    for(ALsizei i = 0; i < count; ++i)
+        PyList_SET_ITEM(lst, i, PyLong_FromUnsignedLong(ids[i]));
+    call_void("alDirectCall",
+              Py_BuildValue("(sOiiiNi)", "alDebugMessageControlEXT",
+                            static_cast<PyObject*>(context),
+                            static_cast<int>(source), static_cast<int>(type),
+                            static_cast<int>(severity), lst,
+                            enable ? 1 : 0));
+}
+
+void alPushDebugGroupDirectEXT(ALCcontext *context, ALenum source, ALuint id,
+                               ALsizei length, const ALchar *message)
+{
+    Gil gil;
+    call_void("alDirectCall",
+              Py_BuildValue("(sOiIs#)", "alPushDebugGroupEXT",
+                            static_cast<PyObject*>(context),
+                            static_cast<int>(source), id, message,
+                            static_cast<Py_ssize_t>(
+                                length >= 0 ? length
+                                            : static_cast<ALsizei>(
+                                                strlen(message)))));
+}
+
+void alObjectLabelDirectEXT(ALCcontext *context, ALenum identifier,
+                            ALuint name, ALsizei length, const ALchar *label)
+{
+    Gil gil;
+    const char *kind = identifier == 0x19D4 ? "buffer" : "source";
+    call_void("alDirectCall",
+              Py_BuildValue("(sOsIs#)", "alObjectLabelEXT",
+                            static_cast<PyObject*>(context), kind, name,
+                            label,
+                            static_cast<Py_ssize_t>(
+                                length >= 0 ? length
+                                            : static_cast<ALsizei>(
+                                                strlen(label)))));
+}
+
+void alGetObjectLabelDirectEXT(ALCcontext *context, ALenum identifier,
+                               ALuint name, ALsizei bufSize, ALsizei *length,
+                               ALchar *label)
+{
+    Gil gil;
+    const char *kind = identifier == 0x19D4 ? "buffer" : "source";
+    PyObject *r = call("alDirectCall",
+                       Py_BuildValue("(sOsI)", "alGetObjectLabelEXT",
+                                     static_cast<PyObject*>(context), kind,
+                                     name));
+    ALsizei n = 0;
+    if(r && PyUnicode_Check(r)) {
+        const char *s = PyUnicode_AsUTF8(r);
+        if(s && label && bufSize > 0) {
+            strncpy(label, s, static_cast<size_t>(bufSize) - 1);
+            label[bufSize - 1] = 0;
+            n = static_cast<ALsizei>(strlen(label));
+        }
+    }
+    if(length) *length = n;
+    Py_XDECREF(r);
+}
+
+ALuint alGetDebugMessageLogDirectEXT(ALCcontext *context, ALuint count,
+                                     ALsizei logBufSize, ALenum *sources,
+                                     ALenum *types, ALuint *ids,
+                                     ALenum *severities, ALsizei *lengths,
+                                     ALchar *logBuf)
+{
+    (void)context; /* the debug log store is per-context via alDirectCall
+                    * for mutations; reads share the current-context log */
+    return alGetDebugMessageLogEXT(count, logBufSize, sources, types, ids,
+                                   severities, lengths, logBuf);
+}
+
+void *alGetPointerDirectEXT(ALCcontext *context, ALenum pname)
+{
+    (void)context;
+    return alGetPointerEXT(pname);
+}
+
+void alGetPointervDirectEXT(ALCcontext *context, ALenum pname, void **values)
+{
+    (void)context;
+    alGetPointervEXT(pname, values);
+}
+
 /* ==== proc-address resolution ============================================= */
 
 void *alcGetProcAddress(ALCdevice *, const ALCchar *funcname)
@@ -800,6 +1406,11 @@ void *alcGetProcAddress(ALCdevice *, const ALCchar *funcname)
 }
 
 void *alGetProcAddress(const ALchar *funcname)
+{
+    return alcGetProcAddress(nullptr, funcname);
+}
+
+void *alGetProcAddressDirect(ALCcontext * /*context*/, const ALchar *funcname)
 {
     return alcGetProcAddress(nullptr, funcname);
 }

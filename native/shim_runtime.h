@@ -9,6 +9,10 @@
 #ifndef OPENAL_TPU_SHIM_RUNTIME_H
 #define OPENAL_TPU_SHIM_RUNTIME_H
 
+/* "s#" / "y#" Py_BuildValue formats take Py_ssize_t lengths only with this
+ * defined (mandatory since Python 3.10; without it every such call fails
+ * at runtime with a confusing missing-arguments TypeError). */
+#define PY_SSIZE_T_CLEAN
 #include <Python.h>
 
 #include <mutex>

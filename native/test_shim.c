@@ -84,8 +84,29 @@ extern void alDebugMessageInsertEXT(int source, int type, unsigned id,
                                     int severity, int length,
                                     const char *msg);
 
+extern void alBufferCallbackSOFT(unsigned buffer, int format, int freq,
+                                 int (*cb)(void*, void*, int), void *user);
+extern void alGetBufferPtrSOFT(unsigned buffer, int param, void **ptr);
+
 #define RATE 48000
 #define FRAMES 4096
+
+/* AL_SOFT_callback_buffer pull: a 220 Hz tone streamed on demand. */
+static int g_cb_calls = 0;
+static int g_cb_phase = 0;
+
+static int tone_callback(void *user, void *sampledata, int numbytes)
+{
+    (void)user;
+    float *f = sampledata;
+    int frames = numbytes / 4;
+    for(int i = 0; i < frames; ++i)
+        f[i] = 0.3f * (float)sin(2.0 * M_PI * 220.0 * (g_cb_phase + i)
+                                 / RATE);
+    g_cb_phase += frames;
+    ++g_cb_calls;
+    return frames * 4;
+}
 
 static float peak_of(const float *buf, int n)
 {
@@ -243,6 +264,43 @@ int main(void)
     if(!cap_ok) { fprintf(stderr, "capture data\n"); return 1; }
     alcCaptureStop(cap);
     alcCaptureCloseDevice(cap);
+
+    /* --- scenario 6: callback-buffer streaming (AL_SOFT_callback_buffer) */
+    {
+        unsigned cbuf2, csrc;
+        alGenBuffers(1, &cbuf2);
+        alGenSources(1, &csrc);
+        alBufferCallbackSOFT(cbuf2, AL_FORMAT_MONO_FLOAT32, RATE,
+                             tone_callback, NULL);
+        void *fn = NULL, *user = (void*)&cbuf2;
+        alGetBufferPtrSOFT(cbuf2, 0x19A0, &fn);   /* CALLBACK_FUNCTION */
+        alGetBufferPtrSOFT(cbuf2, 0x19A1, &user); /* CALLBACK_USER_PARAM */
+        if(fn != (void*)tone_callback || user != NULL) {
+            fprintf(stderr, "callback ptr query\n");
+            return 1;
+        }
+        alSourcei(csrc, AL_BUFFER, (int)cbuf2);
+        alSourcePlay(csrc);
+        float cpeak = 0.0f;
+        for(int blocks = 0; blocks < 4; ++blocks) {
+            alcRenderSamplesSOFT(dev, out, FRAMES);
+            float p = peak_of(out, FRAMES * 2);
+            if(p < 0.0f) { fprintf(stderr, "NaN in callback stream\n"); return 1; }
+            if(p > cpeak) cpeak = p;
+        }
+        if(cpeak <= 0.01f) {
+            fprintf(stderr, "silent callback stream (peak %f)\n", cpeak);
+            return 1;
+        }
+        if(g_cb_calls <= 0) {
+            fprintf(stderr, "callback never pulled\n");
+            return 1;
+        }
+        alSourceStop(csrc);
+        alDeleteSources(1, &csrc);
+        alDeleteBuffers(1, &cbuf2);
+        printf("CB_PEAK=%.6f CB_CALLS=%d\n", cpeak, g_cb_calls);
+    }
 
     printf("PEAK=%.6f STREAM_PEAK=%.6f CAPTURED=%d EAX_DECAY=%.3f\n",
            peak, speak, got, decay);

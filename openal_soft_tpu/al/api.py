@@ -620,9 +620,20 @@ _ALC_EXTENSION_LIST = (
 )
 
 
+def _al_extension_list() -> str:
+    """`[eax] enable` config key (alc/alc.cpp:2132): disabling EAX removes
+    its extension strings and the property-set dispatch."""
+    from ..alc import config as alconf
+
+    if alconf.config_value_bool("eax", "enable", True):
+        return _AL_EXTENSION_LIST
+    return " ".join(s for s in _AL_EXTENSION_LIST.split()
+                    if not s.startswith("EAX"))
+
+
 def alGetString(param: int) -> str:
     if param == AL_EXTENSIONS:
-        return _AL_EXTENSION_LIST
+        return _al_extension_list()
     if param == AL_VERSION:
         return "1.1 ALSOFT-TPU"
     if param == AL_RENDERER:
@@ -633,7 +644,7 @@ def alGetString(param: int) -> str:
 
 
 def alIsExtensionPresent(name: str) -> bool:
-    return name.upper() in (s.upper() for s in _AL_EXTENSION_LIST.split())
+    return name.upper() in (s.upper() for s in _al_extension_list().split())
 
 
 def alcGetString(device, param: int) -> str:
@@ -1591,5 +1602,62 @@ def alcCaptureSamplesRaw(device, samples: int) -> bytes:
     arr = device.capture_samples(samples)
     return np.ascontiguousarray(arr).tobytes()
 
+
+# --- 64-bit source setters (al/source.cpp:301-480) ----------------------------
+# The reference's i64 setters share the int property tables with 64-bit
+# range checks; Python ints are unbounded so these are direct forwards.
+
+def alSourcei64SOFT(sid: int, param: int, value: int) -> None:
+    alSourcei(sid, param, int(value))
+
+
+def alSource3i64SOFT(sid: int, param: int, v1, v2, v3) -> None:
+    alSource3i(sid, param, int(v1), int(v2), int(v3))
+
+
+def alSourcei64vSOFT(sid: int, param: int, values) -> None:
+    alSourceiv(sid, param, [int(v) for v in values])
+
+
+# --- ALC_SOFT_HRTF string index (alc/alc.cpp alcGetStringiSOFT) ---------------
+
+ALC_NUM_HRTF_SPECIFIERS_SOFT = 0x1994
+ALC_HRTF_SPECIFIER_SOFT = 0x1995
+
+
+def alcGetStringiSOFT(device, param: int, index: int) -> str:
+    if param == ALC_HRTF_SPECIFIER_SOFT:
+        from ..core import hrtf as hrtf_mod
+        names = [n for n, _ in hrtf_mod.enumerate_hrtf()]
+        if 0 <= index < len(names):
+            return names[index]
+        from .error import ALError, AL_INVALID_VALUE
+        raise ALError(AL_INVALID_VALUE, "HRTF specifier index out of range")
+    raise ValueError(f"alcGetStringiSOFT param {param:#x}")
+
+
+# --- AL_SOFT_buffer_storage / Apple static data -------------------------------
+
+def alBufferStorageSOFT(bid: int, fmt: int, data: bytes, freq: int,
+                        flags: int) -> None:
+    """alBufferData with storage flags (al/buffer.cpp alBufferStorageSOFT).
+    The map flags are bookkept for alMapBufferSOFT access checks; the
+    payload decodes like alBufferData."""
+    alBufferDataRaw(bid, fmt, data, freq)
+    _ctx().buffers[bid].storage_flags = flags
+
+
+def alBufferDataStatic(bid: int, fmt: int, data: bytes, freq: int) -> None:
+    """AL_EXT_STATIC_BUFFER: the reference adopts the app's memory without
+    copying; the TPU pool always keeps its own device-resident copy, so
+    static and copied storage are indistinguishable here."""
+    alBufferDataRaw(bid, fmt, data, freq)
+
+
+# --- ALC_SOFT_system_events (alc/events.py; resolved via this module by the
+# C ABI shim, native/alc_shim.cpp) ---------------------------------------------
+
+from ..alc.events import (alcEventCallbackSOFT,   # noqa: E402,F401
+                          alcEventControlSOFT, alcEventIsSupportedSOFT)
 
 _install_entry_shields()

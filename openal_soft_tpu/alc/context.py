@@ -23,6 +23,12 @@ from ..core.voice import PlayState, Voice
 from ..ops import filters as f_ops
 from ..core import panning
 
+# Raw-bytes callback returns (the C-ABI trampoline) decode with the sample
+# type registered at alBufferCallbackSOFT time.
+_CB_DTYPES = {"uint8": np.uint8, "int8": np.int8, "int16": np.int16,
+              "int32": np.int32, "float32": np.float32,
+              "float64": np.float64, "mulaw": np.uint8, "alaw": np.uint8}
+
 f32 = np.float32
 _COEFF_EPS = f32(0.015625)  # 1/64, biquad.cpp check_set
 
@@ -84,10 +90,22 @@ class Context:
     # --- AL error model ---
 
     def set_error(self, code: int, message: str = "") -> None:
-        """Context::setError: keep the FIRST unqueried error (error.cpp:87)."""
+        """Context::setError: keep the FIRST unqueried error (error.cpp:87);
+        `trap-al-error` config key / ALSOFT_TRAP_AL_ERROR raises SIGTRAP for
+        debugger breaks (error.cpp:40-57)."""
         if self.last_error == 0:
             self.last_error = code
         self._last_error_message = message
+        import os
+
+        from . import config as alconf
+        if (alconf.config_value_bool("", "trap-al-error", False)
+                or os.environ.get("ALSOFT_TRAP_AL_ERROR", "") in
+                ("1", "true", "yes", "on")
+                or os.environ.get("ALSOFT_TRAP_ERROR", "") in
+                ("1", "true", "yes", "on")):
+            import signal
+            os.kill(os.getpid(), signal.SIGTRAP)
 
     def get_error(self) -> int:
         err, self.last_error = self.last_error, 0
@@ -151,8 +169,14 @@ class Context:
         return src
 
     def create_aux_slot(self):
+        from ..al.error import ALError
         from ..core.effectslot import EffectSlot
+        from . import config as alconf
 
+        limit = alconf.config_value_int("", "slots", 64) or 64
+        if len(self.aux_slots) >= max(limit, 1):
+            raise ALError(0xA005,     # AL_OUT_OF_MEMORY (alAuxiliaryEffect-
+                          "effect slot limit reached")   # Slot.cpp:122)
         slot = EffectSlot(self._new_id(), self)
         self.aux_slots[slot.id] = slot
         return slot
@@ -436,7 +460,13 @@ class Context:
                     + MAX_RESAMPLER_PADDING + 2)
             while not buf.cb_done and buf.cb_fill < min(need, seg):
                 want = min(4096, seg - buf.cb_fill)
-                arr = np.asarray(buf.callback(want))
+                res = buf.callback(want)
+                if isinstance(res, (bytes, bytearray, memoryview)):
+                    # C-ABI trampoline (native/alc_shim.cpp) returns the raw
+                    # interleaved bytes in the registered sample type.
+                    ct = getattr(buf.cb_type, "value", buf.cb_type)
+                    res = np.frombuffer(res, dtype=_CB_DTYPES[ct])
+                arr = np.asarray(res)
                 flat = decode_to_float32(arr.ravel(), buf.cb_type)
                 frames = flat.size // buf.channels
                 planar = flat[:frames * buf.channels].reshape(
