@@ -54,6 +54,33 @@ EFFECT_DEFAULTS: dict[str, dict] = {
 }
 EFFECT_DEFAULTS["eaxreverb"] = EFFECT_DEFAULTS["reverb"]
 
+# `excludefx` reference spellings -> our registry names (alsoftrc.sample).
+_EXCLUDEFX_NAMES = {
+    "eaxreverb": "eaxreverb", "reverb": "reverb", "chorus": "chorus",
+    "compressor": "compressor", "distortion": "distortion", "echo": "echo",
+    "equalizer": "equalizer", "flanger": "flanger",
+    "modulator": "ring_modulator", "dedicated": "dedicated_dialog",
+    "pshifter": "pitch_shifter", "fshifter": "frequency_shifter",
+    "vmorpher": "vocal_morpher", "autowah": "autowah",
+    "convolution": "convolution",
+}
+
+
+def _excluded_effects() -> set:
+    """Effect names disabled by the `excludefx` config key (recomputed per
+    call: tests reload the config between scenarios)."""
+    from ..alc import config as alconf
+
+    names = (alconf.config_value_str("", "excludefx") or "")
+    out = set()
+    for n in names.split(","):
+        n = n.strip().lower()
+        if n in _EXCLUDEFX_NAMES:
+            out.add(_EXCLUDEFX_NAMES[n])
+            if n == "dedicated":
+                out.add("dedicated_lfe")
+    return out
+
 
 class Effect:
     def __init__(self, eid: int, effect_type: str = "null") -> None:
@@ -63,6 +90,10 @@ class Effect:
     def set_type(self, effect_type: str) -> None:
         if effect_type not in EFFECT_DEFAULTS:
             raise ValueError(f"unknown effect type: {effect_type}")
+        if effect_type != "null" and effect_type in _excluded_effects():
+            # `excludefx` config key (alc/alc.cpp:1101-1123): excluded
+            # effects report as unsupported.
+            raise ValueError(f"effect type excluded by config: {effect_type}")
         self.type = effect_type
         self.props = dict(EFFECT_DEFAULTS[effect_type])
 

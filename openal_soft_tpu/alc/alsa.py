@@ -99,10 +99,18 @@ class AlsaBackend:
     def _configure(self) -> None:
         """Negotiate the device format (the reference's full hw/sw-params
         dance collapsed to snd_pcm_set_params: same rate/format/channels
-        contract, ~43 ms of buffering = 2x the default period)."""
+        contract; buffering = `periods` x `period_size` frames, default
+        2 x 1024 ~= 43 ms — the alsoftrc `period_size`/`periods` keys,
+        alc/alc.cpp:1412-1427)."""
+        from . import config as alconf
+
         dev = self.device
         fmt = _SND_PCM_FORMAT[dev.fmt_type]
-        buffer_us = 2 * 1024 * 1_000_000 // dev.sample_rate
+        period = alconf.config_value_int("", "period_size", 1024) or 1024
+        period = int(np.clip(period, 64, 8192))
+        nper = alconf.config_value_int("", "periods", 2) or 2
+        nper = int(np.clip(nper, 2, 16))
+        buffer_us = nper * period * 1_000_000 // dev.sample_rate
         rc = self._lib.snd_pcm_set_params(
             self._pcm, fmt, _SND_PCM_ACCESS_RW_INTERLEAVED,
             dev.n_real, dev.sample_rate, 1, buffer_us)

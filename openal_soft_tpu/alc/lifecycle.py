@@ -167,7 +167,26 @@ class PlaybackDevice:
             kw["capacity"] = max(max(mono, 0) + 2 * max(stereo, 0), 64)
         if (sends := a.get(ALC_MAX_AUXILIARY_SENDS, -1)) >= 0:
             kw["num_aux_sends"] = min(sends, 6)
+        elif (csends := alconf.config_value_int("", "sends")) is not None:
+            kw.setdefault("num_aux_sends", int(np.clip(csends, 0, 6)))
+        # `sources`: voice-table capacity (alc.cpp `sources` / `slots`
+        # limits); rounded to the 16-row kernel grain.
+        if (srcs := alconf.config_value_int("", "sources")) and srcs > 0:
+            kw.setdefault("capacity", -(-int(srcs) // 16) * 16)
         hrtf = a.get(ALC_HRTF_SOFT, ALC_DONT_CARE_SOFT)
+        # `stereo-mode` (speakers/headphones) + legacy `hrtf` key: on
+        # headphones, unforced stereo output defaults to HRTF
+        # (alc.cpp:1486-1529).
+        hrtf_conf = (alconf.config_value_str("", "hrtf") or "auto").lower()
+        stereo_mode = (alconf.config_value_str("", "stereo-mode")
+                       or "speakers").lower()
+        if hrtf == ALC_DONT_CARE_SOFT and fmt_ch == DevFmtChannels.STEREO:
+            if hrtf_conf in ("true", "yes", "on", "1"):
+                hrtf = 1
+            elif hrtf_conf in ("false", "no", "off", "0"):
+                hrtf = 0
+            elif stereo_mode.startswith("headphone"):
+                hrtf = 1
         if hrtf == 1 and fmt_ch == DevFmtChannels.STEREO:
             kw["render_mode"] = panning.RenderMode.HRTF
         elif hrtf == 0:

@@ -16,8 +16,17 @@ import enum
 
 import numpy as np
 
-from ..constants import MAX_SEND_COUNT, Resampler
+from ..constants import MAX_SEND_COUNT, RESAMPLER_NAMES, Resampler
 from .devformat import AmbiLayout, AmbiScaling, FmtChannels
+
+
+def default_resampler() -> Resampler:
+    """Process default resampler: the `resampler` config key when valid,
+    else Spline (core/voice.cpp:139-178, core/voice.h:35)."""
+    from ..alc import config as alconf
+
+    name = (alconf.config_value_str("", "resampler") or "").strip().lower()
+    return RESAMPLER_NAMES.get(name, Resampler.SPLINE)
 
 
 class DistanceModel(enum.IntEnum):
@@ -72,7 +81,8 @@ class VoiceProps:
     orient_up: tuple = (0.0, 1.0, 0.0)
     head_relative: bool = False
     distance_model: DistanceModel = DistanceModel.INVERSE_CLAMPED
-    resampler: Resampler = Resampler.SPLINE
+    resampler: Resampler = dataclasses.field(
+        default_factory=lambda: default_resampler())
     direct_channels: DirectMode = DirectMode.OFF
     spatialize_mode: SpatializeMode = SpatializeMode.AUTO
     panning_enabled: bool = False
