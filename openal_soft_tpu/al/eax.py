@@ -125,6 +125,12 @@ class EaxSourceProps:
     outside_volume_hf: int = 0
     air_absorption_factor: float = 0.0
     flags: int = 7
+    # EAX3.0+ additions (EAX30SOURCEPROPERTIES, api.h:636-654)
+    doppler_factor: float = 1.0
+    rolloff_factor: float = 0.0
+    # EAX5.0 additions
+    macro_fx_factor: float = 1.0
+    speaker_levels: tuple = tuple([-10000] * 9)   # EAXSPEAKERLEVELPROPERTIES
 
 
 def _occlusion_mb(occ: float, path_ratio: float, lf_ratio: float) -> float:
@@ -148,10 +154,13 @@ class EaxContext:
         self.listener_flags = LISTENER_DEFAULT_FLAGS
         self.deferred: list = []
         # Slot 0 defaults to the generic-environment reverb
-        # (fx_slots.cpp: slot 0 loads EAX_REVERB_EFFECT on init).
+        # (fx_slots.cpp: slot 0 loads EAX_REVERB_EFFECT on init); the
+        # `default-reverb` config key overrides the initial preset by EFX
+        # preset name (alc/alc.cpp LoadReverbPreset).
         self._ensure_slot(0)
         self._load_effect(0, "eaxreverb")
         self._set_environment(0)
+        self._apply_default_reverb()
 
     # --- slots ---
 
@@ -166,6 +175,22 @@ class EaxContext:
         slot.set_effect(eff)
         slot._eax_effect = eff
         self.slot_effect_type[idx] = effect_type
+
+    def _apply_default_reverb(self) -> None:
+        from . import presets
+        from ..alc import config as alconf
+
+        name = alconf.config_value_str("", "default-reverb")
+        if not name:
+            return
+        key = name.strip().upper().replace(" ", "_")
+        props = presets.REVERB_PRESETS.get(key)
+        if props is None:
+            return
+        slot = self.slots[0]
+        for k, v in props.items():
+            slot._eax_effect.set(k, v)
+        slot.set_effect(slot._eax_effect)
 
     def _set_environment(self, env: int) -> None:
         from . import presets
@@ -332,12 +357,15 @@ class EaxContext:
         src.set("direct_gain_hf", level_mb_to_gain(gainhf_mb))
         src.set("direct_gain_lf", 1.0)
 
-        # Room path onto the primary fx slot (send 0).
+        # Room path onto the primary fx slot (send 0); exclusion applies to
+        # the send only (eax_create_room_filter_param, al/source.cpp:4100).
         slot = self.slots[self.primary_fx_slot]
         if slot is not None:
-            room_mb = _occlusion_mb(p.occlusion, p.occlusion_room_ratio,
-                                    p.occlusion_lf_ratio)
-            roomhf_mb = float(p.occlusion) * p.occlusion_room_ratio
+            room_mb = (_occlusion_mb(p.occlusion, p.occlusion_room_ratio,
+                                     p.occlusion_lf_ratio)
+                       + float(p.exclusion) * p.exclusion_lf_ratio)
+            roomhf_mb = (float(p.occlusion) * p.occlusion_room_ratio
+                         + float(p.exclusion))
             roomhf_mb -= room_mb
             room_mb += float(p.room)
             roomhf_mb += float(p.room_hf)
@@ -379,6 +407,12 @@ _L20_BY_NAME = {"room": L20_ROOM, "room_hf": L20_ROOMHF,
 
 
 def get_eax(ctx) -> EaxContext:
+    from ..alc import config as alconf
+
+    if not alconf.config_value_bool("eax", "enable", True):
+        # `[eax] enable = false` (alc/alc.cpp:2132): the property sets
+        # dispatch as unknown.
+        raise ValueError("EAX disabled by config ([eax] enable)")
     st = getattr(ctx, "_eax_state", None)
     if st is None:
         st = ctx._eax_state = EaxContext(ctx)
@@ -462,6 +496,135 @@ _B20_TYPES = {
 
 _SCALAR = {"l": ("<l", int), "L": ("<L", int), "f": ("<f", float)}
 
+# EAXSOURCE_PROPERTY (api.h:448-486): EAX3.0 renumbered the source set and
+# EAX4.0/5.0 extend it — NOT the EAX2.0 buffer numbering.
+(SRC_NONE, SRC_ALL, SRC_OBSTRUCTIONPARAMS, SRC_OCCLUSIONPARAMS,
+ SRC_EXCLUSIONPARAMS, SRC_DIRECT, SRC_DIRECTHF, SRC_ROOM, SRC_ROOMHF,
+ SRC_OBSTRUCTION, SRC_OBSTRUCTIONLFRATIO, SRC_OCCLUSION,
+ SRC_OCCLUSIONLFRATIO, SRC_OCCLUSIONROOMRATIO, SRC_OCCLUSIONDIRECTRATIO,
+ SRC_EXCLUSION, SRC_EXCLUSIONLFRATIO, SRC_OUTSIDEVOLUMEHF,
+ SRC_DOPPLERFACTOR, SRC_ROLLOFFFACTOR, SRC_ROOMROLLOFFFACTOR,
+ SRC_AIRABSORPTIONFACTOR, SRC_FLAGS, SRC_SENDPARAMS, SRC_ALLSENDPARAMS,
+ SRC_OCCLUSIONSENDPARAMS, SRC_EXCLUSIONSENDPARAMS, SRC_ACTIVEFXSLOTID,
+ SRC_MACROFXFACTOR, SRC_SPEAKERLEVELS, SRC_ALL2DPARAMS) = range(31)
+
+_SRC_ATTRS = {
+    SRC_DIRECT: ("direct", "l"), SRC_DIRECTHF: ("direct_hf", "l"),
+    SRC_ROOM: ("room", "l"), SRC_ROOMHF: ("room_hf", "l"),
+    SRC_OBSTRUCTION: ("obstruction", "l"),
+    SRC_OBSTRUCTIONLFRATIO: ("obstruction_lf_ratio", "f"),
+    SRC_OCCLUSION: ("occlusion", "l"),
+    SRC_OCCLUSIONLFRATIO: ("occlusion_lf_ratio", "f"),
+    SRC_OCCLUSIONROOMRATIO: ("occlusion_room_ratio", "f"),
+    SRC_OCCLUSIONDIRECTRATIO: ("occlusion_direct_ratio", "f"),
+    SRC_EXCLUSION: ("exclusion", "l"),
+    SRC_EXCLUSIONLFRATIO: ("exclusion_lf_ratio", "f"),
+    SRC_OUTSIDEVOLUMEHF: ("outside_volume_hf", "l"),
+    SRC_DOPPLERFACTOR: ("doppler_factor", "f"),
+    SRC_ROLLOFFFACTOR: ("rolloff_factor", "f"),
+    SRC_ROOMROLLOFFFACTOR: ("room_rolloff", "f"),
+    SRC_AIRABSORPTIONFACTOR: ("air_absorption_factor", "f"),
+    SRC_FLAGS: ("flags", "L"),
+    SRC_MACROFXFACTOR: ("macro_fx_factor", "f"),
+}
+
+# EAX30SOURCEPROPERTIES wire layout (api.h:636-650); EAX50 appends
+# flMacroFXFactor.
+_SRC_ALL_STRUCT = "<lllllflffflflffffL"
+_SRC_ALL_FIELDS = (
+    "direct", "direct_hf", "room", "room_hf", "obstruction",
+    "obstruction_lf_ratio", "occlusion", "occlusion_lf_ratio",
+    "occlusion_room_ratio", "occlusion_direct_ratio", "exclusion",
+    "exclusion_lf_ratio", "outside_volume_hf", "doppler_factor",
+    "rolloff_factor", "room_rolloff", "air_absorption_factor", "flags")
+
+
+def _src_set_raw(st: EaxContext, eax5: bool, pid: int, source_id: int,
+                 raw: bytes) -> int:
+    """EAX3.0+ source property decode + apply (al/source.cpp eax3/4/5_set)."""
+    props = st.source_props.setdefault(source_id, EaxSourceProps())
+    if pid == SRC_NONE:
+        return 0
+    if pid == SRC_ALL or pid == SRC_ALL2DPARAMS:
+        if pid == SRC_ALL:
+            vals = _struct.unpack_from(_SRC_ALL_STRUCT, raw, 0)
+            for f, v in zip(_SRC_ALL_FIELDS, vals):
+                setattr(props, f, v)
+            if eax5 and len(raw) >= _struct.calcsize(_SRC_ALL_STRUCT) + 4:
+                props.macro_fx_factor = _struct.unpack_from(
+                    "<f", raw, _struct.calcsize(_SRC_ALL_STRUCT))[0]
+        else:   # EAXSOURCE2DPROPERTIES: direct/directhf/room/roomhf/flags
+            d, dhf, r, rhf, fl = _struct.unpack_from("<llllL", raw, 0)
+            props.direct, props.direct_hf = d, dhf
+            props.room, props.room_hf, props.flags = r, rhf, fl
+    elif pid == SRC_OBSTRUCTIONPARAMS:
+        props.obstruction, props.obstruction_lf_ratio = \
+            _struct.unpack_from("<lf", raw, 0)
+    elif pid == SRC_OCCLUSIONPARAMS:
+        (props.occlusion, props.occlusion_lf_ratio,
+         props.occlusion_room_ratio, props.occlusion_direct_ratio) = \
+            _struct.unpack_from("<lfff", raw, 0)
+    elif pid == SRC_EXCLUSIONPARAMS:
+        props.exclusion, props.exclusion_lf_ratio = \
+            _struct.unpack_from("<lf", raw, 0)
+    elif pid == SRC_SPEAKERLEVELS:
+        n = min(len(raw) // 8, 9)
+        levels = list(props.speaker_levels)
+        for i in range(n):
+            sid, lvl = _struct.unpack_from("<ll", raw, i * 8)
+            if 1 <= sid <= 9:
+                levels[sid - 1] = int(lvl)
+        props.speaker_levels = tuple(levels)
+    elif pid in _SRC_ATTRS:
+        name, code = _SRC_ATTRS[pid]
+        fmt, conv = _SCALAR[code]
+        setattr(props, name, conv(_struct.unpack_from(fmt, raw, 0)[0]))
+    elif pid in (SRC_SENDPARAMS, SRC_ALLSENDPARAMS, SRC_OCCLUSIONSENDPARAMS,
+                 SRC_EXCLUSIONSENDPARAMS, SRC_ACTIVEFXSLOTID):
+        # Per-slot send routing beyond the primary slot: accepted (the
+        # renderer routes through the primary slot; al/source.cpp:4433).
+        return 0
+    else:
+        return 0xA002
+    st.commit_source(source_id)
+    return 0
+
+
+def _src_get_raw(st: EaxContext, eax5: bool, pid: int, source_id: int,
+                 size: int) -> bytes | None:
+    props = st.source_props.setdefault(source_id, EaxSourceProps())
+    if pid == SRC_ALL:
+        vals = [getattr(props, f) for f in _SRC_ALL_FIELDS]
+        packed = _struct.pack(_SRC_ALL_STRUCT, *[
+            _coerce(_SRC_ALL_STRUCT, i, v) for i, v in enumerate(vals)])
+        if eax5:
+            packed += _struct.pack("<f", float(props.macro_fx_factor))
+        return packed[:size]
+    if pid == SRC_ALL2DPARAMS:
+        return _struct.pack("<llllL", int(props.direct),
+                            int(props.direct_hf), int(props.room),
+                            int(props.room_hf), int(props.flags))[:size]
+    if pid == SRC_OBSTRUCTIONPARAMS:
+        return _struct.pack("<lf", int(props.obstruction),
+                            float(props.obstruction_lf_ratio))[:size]
+    if pid == SRC_OCCLUSIONPARAMS:
+        return _struct.pack("<lfff", int(props.occlusion),
+                            float(props.occlusion_lf_ratio),
+                            float(props.occlusion_room_ratio),
+                            float(props.occlusion_direct_ratio))[:size]
+    if pid == SRC_EXCLUSIONPARAMS:
+        return _struct.pack("<lf", int(props.exclusion),
+                            float(props.exclusion_lf_ratio))[:size]
+    if pid == SRC_SPEAKERLEVELS:
+        out = b"".join(_struct.pack("<ll", i + 1, lvl)
+                       for i, lvl in enumerate(props.speaker_levels))
+        return out[:size]
+    if pid in _SRC_ATTRS:
+        name, code = _SRC_ATTRS[pid]
+        fmt, conv = _SCALAR[code]
+        return _struct.pack(fmt, conv(getattr(props, name)))[:size]
+    return None
+
 
 def _bytes_to_guid(raw: bytes) -> str:
     d1, d2, d3 = _struct.unpack_from("<IHH", raw, 0)
@@ -491,9 +654,7 @@ def eax_set_raw(ctx, guid: str, pid: int, source_id: int,
                 value = conv(_struct.unpack_from(fmt, raw, 0)[0])
             eax_set(ctx, ps, p, source_id, value)
             return 0
-        if ps in (DSPROPSETID_EAX20_BufferProperties,
-                  DSPROPSETID_EAX30_BufferProperties,
-                  EAXPROPERTYID_EAX40_Source):
+        if ps == DSPROPSETID_EAX20_BufferProperties:
             if p == B20_ALL:
                 vals = _struct.unpack_from(_B20_STRUCT, raw, 0)
                 value = dict(zip(_B20_FIELDS, vals))
@@ -504,9 +665,12 @@ def eax_set_raw(ctx, guid: str, pid: int, source_id: int,
                 value = conv(_struct.unpack_from(fmt, raw, 0)[0])
             eax_set(ctx, ps, p, source_id, value)
             return 0
-        if ps == EAXPROPERTYID_EAX50_Source:
-            return eax_set_raw(ctx, DSPROPSETID_EAX20_BufferProperties, p,
-                               source_id, raw)
+        if ps in (DSPROPSETID_EAX30_BufferProperties,
+                  EAXPROPERTYID_EAX40_Source, EAXPROPERTYID_EAX50_Source):
+            # EAX3.0 renumbered the source property set (api.h:448-486).
+            return _src_set_raw(get_eax(ctx),
+                                ps == EAXPROPERTYID_EAX50_Source, p,
+                                source_id, raw)
         r = eax_set_raw_v45(ctx, ps, p, source_id, raw)
         if r is not None:
             return r
@@ -544,9 +708,7 @@ def eax_get_raw(ctx, guid: str, pid: int, source_id: int,
             fmt, conv = _SCALAR[_L20_TYPES[p]]
             v = eax_get(ctx, ps, p, source_id)
             return _struct.pack(fmt, conv(v))[:size]
-        if ps in (DSPROPSETID_EAX20_BufferProperties,
-                  DSPROPSETID_EAX30_BufferProperties,
-                  EAXPROPERTYID_EAX40_Source):
+        if ps == DSPROPSETID_EAX20_BufferProperties:
             if p == B20_ALL:
                 vals = [eax_get(ctx, ps, pidk, source_id)
                         for pidk in (B20_DIRECT, B20_DIRECTHF, B20_ROOM,
@@ -562,9 +724,11 @@ def eax_get_raw(ctx, guid: str, pid: int, source_id: int,
             fmt, conv = _SCALAR[_B20_TYPES[p]]
             v = eax_get(ctx, ps, p, source_id)
             return _struct.pack(fmt, conv(v))[:size]
-        if ps == EAXPROPERTYID_EAX50_Source:
-            return eax_get_raw(ctx, DSPROPSETID_EAX20_BufferProperties, p,
-                               source_id, size)
+        if ps in (DSPROPSETID_EAX30_BufferProperties,
+                  EAXPROPERTYID_EAX40_Source, EAXPROPERTYID_EAX50_Source):
+            return _src_get_raw(get_eax(ctx),
+                                ps == EAXPROPERTYID_EAX50_Source, p,
+                                source_id, size)
         return eax_get_raw_v45(ctx, ps, p, source_id, size)
     except (KeyError, ValueError, _struct.error):
         return None

@@ -169,3 +169,81 @@ def test_eax5_fxslot_reverb_properties():
     assert rc == 0
     back = struct.unpack("<f", eax_get_raw(ctx, S0, RV_DECAYTIME, 0, 4))[0]
     assert abs(back - 4.25) < 1e-6
+
+
+def test_eax5_source_property_set():
+    """EAX5.0 source property set (api.h:448-486 numbering — NOT the EAX2
+    buffer enum): scalars, the occlusion/exclusion param structs, speaker
+    levels, macro-FX factor, and the ALL struct roundtrip."""
+    import struct
+    from openal_soft_tpu.al.eax import (
+        EAXPROPERTYID_EAX50_Source, SRC_ALL, SRC_DIRECT, SRC_EXCLUSIONPARAMS,
+        SRC_MACROFXFACTOR, SRC_OCCLUSIONPARAMS, SRC_ROOM, SRC_SPEAKERLEVELS,
+        eax_get_raw, eax_set_raw)
+
+    dev, ctx, sid = _scene()
+    st = eax.get_eax(ctx)
+    S = EAXPROPERTYID_EAX50_Source
+
+    # Scalars use the EAX3+ numbering: SRC_DIRECT is pid 5.
+    assert eax_set_raw(ctx, S, SRC_DIRECT, sid, struct.pack("<l", -300)) == 0
+    assert struct.unpack(
+        "<l", eax_get_raw(ctx, S, SRC_DIRECT, sid, 4))[0] == -300
+    assert st.source_props[sid].direct == -300
+
+    # Occlusion params apply to the direct + room filter gains.
+    assert eax_set_raw(ctx, S, SRC_OCCLUSIONPARAMS, sid,
+                       struct.pack("<lfff", -1200, 0.3, 1.2, 0.8)) == 0
+    p = st.source_props[sid]
+    assert (p.occlusion, p.occlusion_lf_ratio) == (-1200, np.float32(0.3))
+    src = ctx.sources[sid]
+    assert src.props.direct_gain < 10.0 ** (-300 / 2000.0) + 1e-6
+
+    # Exclusion attenuates the room send only.
+    g_before = src.props.send[0].gain
+    assert eax_set_raw(ctx, S, SRC_EXCLUSIONPARAMS, sid,
+                       struct.pack("<lf", -900, 1.0)) == 0
+    assert src.props.send[0].gain < g_before
+    assert src.props.direct_gain == ctx.sources[sid].props.direct_gain
+
+    # EAX50 speaker levels: per-speaker dB table stored and returned.
+    levels = b"".join(struct.pack("<ll", i + 1, -100 * (i + 1))
+                      for i in range(9))
+    assert eax_set_raw(ctx, S, SRC_SPEAKERLEVELS, sid, levels) == 0
+    back = eax_get_raw(ctx, S, SRC_SPEAKERLEVELS, sid, 72)
+    assert back == levels
+    assert st.source_props[sid].speaker_levels[4] == -500
+
+    # Macro-FX factor (EAX50 scalar).
+    assert eax_set_raw(ctx, S, SRC_MACROFXFACTOR, sid,
+                       struct.pack("<f", 0.25)) == 0
+    assert struct.unpack(
+        "<f", eax_get_raw(ctx, S, SRC_MACROFXFACTOR, sid, 4))[0] == \
+        np.float32(0.25)
+
+    # ALL struct roundtrip (EAX50 layout = EAX30 + flMacroFXFactor).
+    raw = eax_get_raw(ctx, S, SRC_ALL, sid, 80)
+    assert raw is not None and len(raw) == 76
+    assert eax_set_raw(ctx, S, SRC_ALL, sid, raw) == 0
+    assert struct.unpack_from("<l", raw, 0)[0] == -300
+
+
+def test_eax5_context_commit_paths():
+    """EAX50 context macro-FX factor + speaker config through the raw ABI
+    (EAXCONTEXT_PROPERTY, api.h:326-339), with clamped range checks."""
+    import struct
+    from openal_soft_tpu.al.eax import (
+        CTX_MACROFXFACTOR, CTX_SPEAKERCONFIG, EAXPROPERTYID_EAX50_Context,
+        eax_get_raw, eax_set_raw)
+
+    dev, ctx, sid = _scene()
+    C = EAXPROPERTYID_EAX50_Context
+    assert eax_set_raw(ctx, C, CTX_SPEAKERCONFIG, 0,
+                       struct.pack("<L", 5)) == 0
+    assert struct.unpack(
+        "<L", eax_get_raw(ctx, C, CTX_SPEAKERCONFIG, 0, 4))[0] == 5
+    assert eax_set_raw(ctx, C, CTX_MACROFXFACTOR, 0,
+                       struct.pack("<f", 0.75)) == 0
+    assert struct.unpack(
+        "<f", eax_get_raw(ctx, C, CTX_MACROFXFACTOR, 0, 4))[0] == \
+        np.float32(0.75)
