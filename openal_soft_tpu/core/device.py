@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import threading
 
 import numpy as np
@@ -43,6 +44,7 @@ from ..ops import tables
 from ..ops import uhj as uhj_ops
 from ..ops.pallas import biquad as biq_pallas
 from ..ops.pallas import resample2 as rs_pallas
+from ..ops.pallas import resample3 as rs_gen3
 from ..ops.pallas import resample_unit as rs_unit
 from . import context as ctx_mod
 from . import hrtf as hrtf_mod
@@ -492,10 +494,15 @@ class RenderDevice:
         # traces them (the virtual-CPU sharding mesh as well as the TPU).
         self._bank = {k: np.asarray(v) for k, v in tables.weight_bank().items()}
         self._bank_pad = None   # built lazily for the Pallas resampler
+        self._bank_sl = None    # (taps, sliced bank) for the gen3 kernel
         self._taps = 4  # raised when voices use bsinc resamplers
         # The Pallas resampler is the TPU production path; the jnp path is
         # the CPU/test reference (ARCHITECTURE.md "perf kernel tier").
         self._pallas_ok = jax.default_backend() == "tpu"
+        # Whole-pipeline Pallas reverb kernel (ops/pallas/reverb.py) for
+        # wide (super-block) windows; OPENAL_PALLAS_REVERB=0 opts out.
+        self._pallas_reverb = (os.environ.get("OPENAL_PALLAS_REVERB", "1")
+                               not in ("0", "false", "off"))
         # Accelerator-loss fallback (alu.cpp:2499 analog): one-way switch
         # to XLA:CPU on a runtime error mid-render.
         self._cpu_fallback = False
@@ -531,13 +538,27 @@ class RenderDevice:
 
         # Output stage (alc/alc.cpp:1677-1763): dither for 8/16-bit output,
         # limiter for all integer formats (headroom-derived threshold).
+        # Config: `dither` (bool, default on), `dither-depth` (bits, 0 =
+        # auto per format), `output-limiter` (tri-state: unset keeps the
+        # per-format default), `volume-adjust` (output gain in dB).
         depth = mastering.default_dither_depth(fmt_type.name)
+        if not alconf.config_value_bool("", "dither", True):
+            depth = 0
+        elif (dd := alconf.config_value_int("", "dither-depth", 0) or 0) > 0:
+            depth = int(np.clip(dd, 2, 24))
         self.dither = (mastering.DitherState(depth) if depth > 0 else None)
         self.limiter = None
-        if fmt_type != DevFmtType.FLOAT:
+        lim_opt = alconf.config_value_str("", "output-limiter")
+        want_limiter = (fmt_type != DevFmtType.FLOAT
+                        if lim_opt is None
+                        else lim_opt.lower() in ("true", "yes", "on", "1"))
+        if want_limiter:
             thr_db = mastering.limiter_threshold_db(fmt_type.name, depth)
             self.limiter = mastering.Limiter(self.n_real,
                                              float(self.sample_rate), thr_db)
+        vol_db = alconf.config_value_float("", "volume-adjust", 0.0) or 0.0
+        self._volume_scale = (float(10.0 ** (vol_db / 20.0))
+                              if vol_db else None)
 
         # Effective decode matrices with -100 dB entries zeroed (MixSamples
         # silence-skip, mixer_c.cpp:180-181).
@@ -681,11 +702,23 @@ class RenderDevice:
                 cfg["loop_start"], cfg["loop_end"], cfg["has_loop"],
                 ev["has_wrapped"], ev["pos_int"], cfg["rs_unit_w"],
                 cfg["rs_shared_chunks"], W, taps,
-                n256=n256, n64=n64, vrows=vrows)
+                n256=n256, n64=n64, vrows=vrows, active=cfg["active"])
         return rs_unit.resample_voices_unit(
             pool2d, cfg["src_off"], cfg["src_len"], cfg["loop_start"],
             cfg["loop_end"], cfg["has_loop"], ev["has_wrapped"],
             ev["pos_int"], cfg["rs_unit_w"], W, taps)
+
+    def _gen3_resample(self, pool2d, cfg: dict, ev: dict, W: int, taps: int,
+                       rs_plan: tuple):
+        """Dispatch the general (any-pitch) shared-pool resampler."""
+        _, _, n256, n64, vrows, bucket = rs_plan
+        return rs_gen3.resample_voices_gen_shared(
+            pool2d, cfg["rs_off_vmem"], cfg["src_len"], cfg["loop_start"],
+            cfg["loop_end"], cfg["has_loop"], ev["has_wrapped"],
+            ev["pos_int"], ev["pos_frac"], cfg["increment"],
+            cfg["bank_row"], cfg["sf"], self._bank_sl[1],
+            cfg["rs_shared_chunks"], W, taps, n256=n256, n64=n64,
+            vrows=vrows, max_inc=bucket, active=cfg["active"])
 
     def _render_one(self, state: dict, ev: dict, cfg: dict, pool: jax.Array,
                     T: int, taps: int, rs_plan: tuple | None = None,
@@ -712,6 +745,9 @@ class RenderDevice:
             x = x_pre
         elif rs_plan is not None and rs_plan[0] == "unit":
             x = self._unit_resample(pool.reshape(-1, 128), cfg, ev, T_res,
+                                    taps, rs_plan)
+        elif rs_plan is not None and rs_plan[0] == "gen3":
+            x = self._gen3_resample(pool.reshape(-1, 128), cfg, ev, T_res,
                                     taps, rs_plan)
         elif rs_plan is not None:
             span, winw = rs_plan[1], rs_plan[2]
@@ -1021,7 +1057,9 @@ class RenderDevice:
                                  and len(rs_plan) > 1) else 1
         gen_sb = rs_plan[3] if (rs_plan is not None and rs_plan[0] == "gen"
                                 and len(rs_plan) > 3) else 1
-        sb = max(unit_sb, gen_sb)
+        gen3_sb = rs_plan[1] if (rs_plan is not None
+                                 and rs_plan[0] == "gen3") else 1
+        sb = max(unit_sb, gen_sb, gen3_sb)
         sb_f = sb
         if sb_f <= 1 and rs_plan is None:
             # The jnp gather resampler is window-size-agnostic (per-sample
@@ -1030,27 +1068,36 @@ class RenderDevice:
             sb_f = next((c for c in self._RS_SUPER_BLOCKS
                          if n_blocks % c == 0 and n_blocks >= c), 1)
         fused_hrtf = (sb_f > 1 and n_blocks % sb_f == 0
-                      and "gate:nofilt" in gates and "gate:nodry" in gates
+                      and "gate:nofilt" in gates
+                      and (not self.slots or "gate:nosendfilt" in gates)
                       and self.layout.mode == panning.RenderMode.HRTF
-                      and not self.slots and self._uhj_pad() == 0)
+                      and self.nfc is None and self._uhj_pad() == 0)
         if fused_hrtf:
             # Fused super-block HRTF path (PROFILE.md "multi-block HRTF
-            # contraction"): with filters, dry bus, sends and UHJ statically
-            # pruned, a whole super-block reduces to ONE resample kernel +
-            # ONE [V,192,2]x[V,HIST+sb*T] MXU contraction + skew-sum + fold.
-            # Correct for fades too: the envelope inside hrtf_voices_accum
-            # ramps over the first fade_len samples of the window and holds
-            # constant after — exactly the per-block evolution (fade only
-            # ever enters nonzero on the first block after a cfg upload,
-            # and the valid window/edge corrections scale with the window).
+            # contraction"): with filters and UHJ statically pruned, a whole
+            # super-block reduces to ONE resample kernel + ONE
+            # [V,192,2]x[V,HIST+sb*T] MXU contraction + skew-sum + fold.
+            # With effect slots attached the wet buses also mix at
+            # super-block width (one grouped contraction per send); only the
+            # effect pipelines themselves stay per-block (their delay rings
+            # are sized for BufferLineSize writes).  Correct for fades too:
+            # every ramp (HRIR crossfade, dry/wet gains) spans the first
+            # fade_len samples of the window and holds after — exactly the
+            # per-block evolution, since fades only enter nonzero on the
+            # first block after a cfg upload.
             W = sb_f * T
             pool2d = pool.reshape(-1, 128)
             fade_len = min(GAIN_FADE_SAMPLES, T)
+            no_dry = "gate:nodry" in gates
+            n_slots = len(self.slots)
 
             def outer_f(carry, _):
                 st, e = carry
                 if unit_sb > 1:
                     x_all = self._unit_resample(pool2d, cfg, e, W, taps,
+                                                rs_plan)
+                elif gen3_sb > 1:
+                    x_all = self._gen3_resample(pool2d, cfg, e, W, taps,
                                                 rs_plan)
                 elif gen_sb > 1:
                     x_all = rs_pallas.resample_voices_pallas2(
@@ -1066,23 +1113,111 @@ class RenderDevice:
                         e["has_wrapped"], e["pos_int"], e["pos_frac"],
                         cfg["increment"], cfg["bank_row"], cfg["sf"],
                         self._bank, W, taps)
-                # No active-mask on x_all: the contraction folds the active
-                # mask into the gain column, inactive rows' history garbage
-                # is cleared by the reset mask at (re)activation, and no
-                # other stage consumes x here.
+                # No active-mask on x_all: the HRTF contraction folds the
+                # active mask into the gain column, inactive rows' history
+                # garbage is cleared by the reset mask at (re)activation,
+                # and the mix contractions see zero gains for inactive rows
+                # (their samples are finite by kernel construction).
+                st2 = dict(st)
+                e2 = dict(e)
                 g_eff = jnp.where(cfg["playing"], cfg["hrtf_gain"], 0.0)
                 y_ext = hrtf_mix.hrtf_voices_accum_split(
                     st["hrtf_history"], x_all, cfg["hrtf_coeffs"],
                     cfg["hrtf_delay"], g_eff, cfg["hrtf_old_coeffs"],
                     cfg["hrtf_old_delay"], cfg["hrtf_old_gain"], e["fade"],
                     cfg["active"], W, fade_len)
+
+                contrib_w = None
+                extra_w = None
+                if n_slots:
+                    # Wet buses at super-block width; send filters are
+                    # statically inactive (fused gate), so their memories
+                    # stay cleared and the interp schedules converged.
+                    B = self.wet_channels
+                    wet_bus = jnp.zeros((n_slots, B, W), jnp.float32)
+                    new_sendz, new_scf, new_scnt = [], [], []
+                    for snd in range(self.num_aux_sends):
+                        new_sendz.append(
+                            jnp.zeros_like(st["send_filter_z"][:, snd]))
+                        new_scf.append(cfg["send_filter_target"][:, snd])
+                        new_scnt.append(jnp.zeros_like(
+                            e["send_filter_counter"][:, snd]))
+                        group = jnp.where(cfg["wet_active"][:, snd],
+                                          cfg["wet_slot"][:, snd], n_slots)
+                        wet_tgt = jnp.where(cfg["playing"][:, None],
+                                            cfg["wet_tgt"][:, snd, :B], 0.0)
+                        bus_s, wet_cur2 = mix_ops.mix_voices_grouped(
+                            x_all, e["wet_cur"][:, snd, :B], wet_tgt,
+                            e["fade"], group, n_slots + 1, fade_len)
+                        wet_bus = wet_bus + bus_s[:n_slots]
+                        e2["wet_cur"] = e2["wet_cur"].at[:, snd, :B].set(
+                            wet_cur2)
+                    st2["send_filter_z"] = jnp.stack(new_sendz, axis=1)
+                    e2["send_filter_coeffs"] = jnp.stack(new_scf, axis=1)
+                    e2["send_filter_counter"] = jnp.stack(new_scnt, axis=1)
+
+                    # Effect pipelines at the widest window their delay
+                    # rings allow (whole super-block for reverb), falling
+                    # back to an inner per-sub-window scan otherwise.
+                    Tw = W
+                    for slot in self.slots:
+                        mw = slot.state.max_window()
+                        while Tw > mw or W % Tw:
+                            Tw //= 2
+                    Tw = max(Tw, T)
+
+                    def slot_body(sst, b):
+                        wet_b = jax.lax.dynamic_slice_in_dim(
+                            wet_bus, b * Tw, Tw, axis=2)
+                        contrib = jnp.zeros((self.n_dry, Tw), jnp.float32)
+                        extra = jnp.zeros((2, Tw), jnp.float32)
+                        sst2 = {}
+                        for i, slot in enumerate(self.slots):
+                            cb, rb_, sst2[f"slot{i}"] = slot.state.process(
+                                sst[f"slot{i}"], cfg[f"slot{i}"],
+                                wet_b[i], Tw)
+                            contrib = contrib + cb
+                            if rb_ is not None:
+                                extra = extra + rb_
+                        return sst2, (contrib, extra)
+
+                    sst0 = {f"slot{i}": st[f"slot{i}"]
+                            for i in range(n_slots)}
+                    if Tw == W:
+                        sst2, (contrib_w, extra_w) = slot_body(sst0, 0)
+                        st2.update(sst2)
+                    else:
+                        sst2, (contribs, extras) = jax.lax.scan(
+                            slot_body, sst0, jnp.arange(W // Tw))
+                        st2.update(sst2)
+                        contrib_w = contribs.swapaxes(0, 1).reshape(
+                            self.n_dry, W)
+                        extra_w = extras.swapaxes(0, 1).reshape(2, W)
+
+                if no_dry:
+                    e2["dry_cur"] = jnp.where(cfg["playing"][:, None],
+                                              cfg["dry_tgt"], 0.0)
+                else:
+                    dry_tgt = jnp.where(cfg["playing"][:, None],
+                                        cfg["dry_tgt"], 0.0)
+                    dry, dry_cur2 = mix_ops.mix_voices(
+                        x_all, e["dry_cur"], dry_tgt, e["fade"], fade_len)
+                    e2["dry_cur"] = dry_cur2
+                    if contrib_w is not None:
+                        dry = dry + contrib_w
+                    scaled, sp2 = self._hrtf_splitter.hf_scale(
+                        dry, st["direct_split"], self._direct_hf_scales)
+                    st2["direct_split"] = sp2
+                    y_ext = y_ext + hrtf_mix.direct_hrtf_accum(
+                        scaled, self._direct_coeffs, W)
+
                 out_sb, new_tail = hrtf_mix.fold_accum(
                     y_ext, st["hrtf_tail"], W)
-                st2 = dict(st)
+                if extra_w is not None:
+                    out_sb = out_sb + extra_w
                 st2["hrtf_history"] = x_all[:, W - hrtf_mix.HIST:]
                 st2["hrtf_tail"] = new_tail
                 st2["filter_z"] = jnp.zeros_like(st["filter_z"])
-                e2 = dict(e)
                 pi2, pf2 = rs_ops.advance_positions(
                     e["pos_int"], e["pos_frac"], cfg["increment"],
                     jnp.int32(W))
@@ -1096,9 +1231,7 @@ class RenderDevice:
                 e2["filter_coeffs"] = cfg["filter_target"]
                 e2["filter_counter"] = jnp.zeros_like(e["filter_counter"])
                 e2["fade"] = jnp.zeros_like(e["fade"])
-                e2["dry_cur"] = jnp.where(cfg["playing"][:, None],
-                                          cfg["dry_tgt"], 0.0)
-                outs = out_sb.reshape(out_sb.shape[0], sb, T).swapaxes(0, 1)
+                outs = out_sb.reshape(out_sb.shape[0], sb_f, T).swapaxes(0, 1)
                 return (st2, e2), outs
 
             (state, ev), outs = jax.lax.scan(outer_f, (state, ev), None,
@@ -1119,6 +1252,9 @@ class RenderDevice:
                 st, e = carry
                 if unit_sb > 1:
                     x_all = self._unit_resample(pool2d, cfg, e, T_sb, taps,
+                                                rs_plan)
+                elif gen3_sb > 1:
+                    x_all = self._gen3_resample(pool2d, cfg, e, T_sb, taps,
                                                 rs_plan)
                 else:
                     x_all = rs_pallas.resample_voices_pallas2(
@@ -1540,9 +1676,14 @@ class RenderDevice:
             cfg["rs_unit_w"] = jnp.asarray(rs_unit.unit_weights_np(
                 self._bank, self.table.bank_row, self.table.sf,
                 self.table.pos_frac, self._taps))
-            # Shared-pool staging layout for the unit kernel (regions of
-            # the active buffers merged into one VMEM image).  None when
-            # the union exceeds the VMEM buckets -> per-voice-DMA kernel.
+            # Shared-pool staging layout (regions of the active buffers
+            # merged into one VMEM image) — consumed by BOTH the unit
+            # kernel's shared variant and the general resampler (gen3).
+            # None when the union exceeds the VMEM buckets -> per-voice-DMA
+            # kernels.  The cfg keys are ALWAYS populated (size-minimal
+            # placeholders when unused) so the cfg pytree structure — and
+            # therefore the _render_chunk trace cache — is stable across
+            # layout flips.
             t = self.table
             pool_rows = self.pool._host.size // 128
             lay = rs_unit.shared_layout(
@@ -1554,6 +1695,8 @@ class RenderDevice:
                 cfg["rs_off_vmem"] = jnp.asarray(off_vmem)
                 self._rs_shared = (n256, n64, vrows, pool_rows)
             else:
+                cfg["rs_shared_chunks"] = jnp.zeros(2, jnp.int32)
+                cfg["rs_off_vmem"] = jnp.zeros(self.capacity, jnp.int32)
                 self._rs_shared = None
         if self.nfc is not None:
             w0 = self.table.nfc_w0
@@ -1726,28 +1869,65 @@ class RenderDevice:
                         and self._cfg_dev is not None
                         and "rs_off_vmem" in self._cfg_dev):
                     sh = ("sh",) + self._rs_shared[:3]
+
+                def _sh_fits(win: int) -> tuple:
+                    # The shared kernel asserts K+1 <= PADMAX at trace time
+                    # (K = win//128 + 1); fall back to per-voice DMAs for
+                    # windows past the pad-row headroom instead of erroring.
+                    return sh if (win // 128 + 2 <= rs_unit.PADMAX) else ()
+
                 for sbc in self._RS_SUPER_BLOCKS:
                     if (n_blocks >= sbc and n_blocks % sbc == 0
                             and ll_min >= sbc * T + pad + self._taps):
-                        return ("unit", sbc) + sh
-                return ("unit", 1) + sh if sh else ("unit",)
-        if self.capacity % rs_pallas.NV != 0:
-            return None
+                        return ("unit", sbc) + _sh_fits(sbc * T + pad)
+                sh1 = _sh_fits(T_res)
+                return ("unit", 1) + sh1 if sh1 else ("unit",)
         max_inc = int(t.increment.max())
         if max_inc > (10 << MIXER_FRAC_BITS_):
+            return None
+        if self._bank_pad is None:
+            self._bank_pad = rs_pallas.pad_bank_taps(tables.weight_bank())
+        la = t.has_loop & act
+        ll_min = int(loop_len[la].min()) if bool(la.any()) else (1 << 30)
+        # General resampler v3 (ops/pallas/resample3.py): shared-pool
+        # staging + MXU one-hot window assembly.  Applies at ANY pitch
+        # profile whenever the active regions fit a VMEM bucket; the
+        # super-block ladder is bounded by the int32 position math, the
+        # single-seam guarantee (loop_len >= window span) and the VMEM
+        # footprint of the per-voice resolved images.
+        if (self.capacity % rs_gen3.NV == 0 and self._rs_shared is not None
+                and self._rs_shared[3] == self.pool._host.size // 128
+                and self._cfg_dev is not None
+                and "rs_off_vmem" in self._cfg_dev):
+            bucket = next(b for b in (1 << 16, 2 << 16, 4 << 16, 10 << 16)
+                          if max_inc <= b)
+            n256, n64, vrows = self._rs_shared[:3]
+            if self._bank_sl is None or self._bank_sl[0] != self._taps:
+                self._bank_sl = (self._taps, rs_gen3.slice_bank(
+                    self._bank_pad, self._taps))
+            for sbc in self._RS_SUPER_BLOCKS + (1,):
+                if not (n_blocks >= sbc and n_blocks % sbc == 0):
+                    continue
+                W = sbc * T + pad
+                if (W - 1) * bucket + 65535 >= (1 << 31):
+                    continue   # per-sample position math must stay int32
+                wspan = (((W - 1) * bucket + 65535)
+                         >> MIXER_FRAC_BITS_) + self._taps
+                if ll_min < wspan:
+                    continue   # multiple loop seams per window
+                if rs_gen3.vmem_bytes(W, bucket, self._taps,
+                                      vrows) > rs_gen3.VMEM_GATE:
+                    continue
+                return ("gen3", sbc, n256, n64, vrows, bucket)
+        if self.capacity % rs_pallas.NV != 0:
             return None
         winw = rs_pallas.winw_for(max_inc, self._taps)
         if not bool(np.all(~t.has_loop | (loop_len >= winw))):
             return None   # sub-window loops fall back to the jnp gather path
-        if self._bank_pad is None:
-            self._bank_pad = rs_pallas.pad_bank_taps(tables.weight_bank())
-        # Multi-block windows for the general kernel: one call per 2 blocks
-        # when the super-block source span fits a span bucket.  Capped at
-        # sb=2 — the kernel's per-row window-assembly loop is serial scalar
-        # work that scales with rows, so larger windows regress (measured:
-        # sb=4 cost 3.45 ms/block vs 2.68 per-block vs 2.58 at sb=2 on the
-        # 4096-voice mixed-pitch scene); vectorizing that loop is the
-        # follow-up that would unlock sb=8 (see PROFILE.md).
+        # Per-voice-DMA general kernel (v2) fallback: pools too large for
+        # the shared VMEM image.  Multi-block windows capped at sb=2 — its
+        # per-row window assembly is serial scalar work (the reason v3
+        # exists), so larger windows regress.
         for sbc in (2,):
             if n_blocks >= sbc and n_blocks % sbc == 0:
                 need = ((((sbc * T + pad) - rs_pallas.LANE) * max_inc)
@@ -1802,6 +1982,8 @@ class RenderDevice:
             x = np.stack([left, right], axis=1)
         if self._dist_comp is not None:
             x = self._apply_distance_comp(np.ascontiguousarray(x))
+        if self._volume_scale is not None:
+            x = (x * f32(self._volume_scale)).astype(f32)
         if self.limiter is not None:
             x = np.ascontiguousarray(x)
             for i in range(0, x.shape[0], BUFFER_LINE_SIZE):

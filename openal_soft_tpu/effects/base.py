@@ -40,6 +40,12 @@ class EffectState:
     def __init__(self, device) -> None:
         self.device = device
 
+    def max_window(self) -> int:
+        """Largest per-call process() window the state supports (bounded by
+        any full-window ring write; the fused super-block path feeds whole
+        windows when every attached effect allows it)."""
+        return 1024
+
     # -- host half --
     def device_update(self, buffer=None) -> dict:
         """Allocate carried device state at the device rate; returns the

@@ -58,6 +58,44 @@ def test_partitioning_is_invariant(hrtf):
     check(np.concatenate(parts), whole[:served])
 
 
+def _build_loaded(pitch=True):
+    """HRTF + mixed pitch + one EAXReverb slot with per-voice sends: the
+    bench.py `loaded` composition at test scale — exercises the fused
+    super-block path WITH effect slots (core/device.py _render_chunk)."""
+    dev = LoopbackDevice(frequency=RATE, channels="stereo",
+                         sample_type="float32", capacity=16, hrtf=True)
+    ctx = dev.create_context()
+    slot = ctx.create_aux_slot()
+    eff = ctx.create_effect("eaxreverb")
+    slot.set_effect(eff)
+    rng = np.random.default_rng(13)
+    t = np.arange(RATE // 2) / RATE
+    for i in range(4):
+        buf = ctx.create_buffer()
+        tone = (0.3 * np.sin(2 * np.pi * (220 + 110 * i) * t)).astype(f32)
+        buf.set_data(tone, "mono", "float32", RATE)
+        src = ctx.create_source()
+        src.buffer(buf)
+        src.looping = True
+        src.set("position", tuple(rng.standard_normal(3) * 2.0))
+        if pitch:
+            src.set("pitch", float(2.0 ** rng.uniform(-1, 1)))
+        src.send(slot, 0)
+        src.play()
+    return dev
+
+
+@pytest.mark.parametrize("pitch", [True, False])
+def test_loaded_fused_invariance(pitch):
+    """The fused super-block path with slots (wet mix at window width +
+    per-block effect pipelines) must match per-block dispatches."""
+    whole = _build_loaded(pitch).render_samples(TOTAL)
+    dev = _build_loaded(pitch)
+    blocks = [dev.render_samples(1024) for _ in range(TOTAL // 1024)]
+    np.testing.assert_allclose(np.concatenate(blocks), whole, atol=4e-6)
+    assert np.isfinite(whole).all()
+
+
 def test_native_rate_hrtf_fused_invariance():
     """Native-rate HRTF scenes select the fused super-block contraction
     (core/device.py _render_chunk fused_hrtf): whole-window accumulation
