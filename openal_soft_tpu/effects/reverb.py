@@ -101,6 +101,15 @@ DEFAULTS = {
 }
 
 
+def _reverb_boost() -> float:
+    """`[reverb] boost` config key: reverb output gain adjust in dB
+    (alc/alc.cpp:615-624; ReverbBoost)."""
+    from ..alc import config as alconf
+
+    db = alconf.config_value_float("reverb", "boost", 0.0) or 0.0
+    return float(10.0 ** (db / 20.0)) if db else 1.0
+
+
 def _next_pow2(n: int) -> int:
     p = 1
     while p < n:
@@ -140,6 +149,11 @@ def _cubic_filter_table() -> np.ndarray:
 
 
 _CUBIC_TAB = _cubic_filter_table()
+
+# Tap-major packing for the Pallas kernel's lane gathers:
+# _CUBIC_TAB8[tap*2 + (frac>>7), frac & 127] = _CUBIC_TAB[frac, tap].
+_CUBIC_TAB8 = np.stack([_CUBIC_TAB[h * 128:(h + 1) * 128, t]
+                        for t in range(4) for h in (0, 1)]).astype(f32)
 
 
 def _calc_delay_mult(density: float) -> f32:
@@ -270,10 +284,16 @@ class ReverbEffect(EffectState):
             LATE_ALLPASS_LENGTHS[-1] * mult * freq)) + vecap_extra)
         self.len_late = _next_pow2(int(np.ceil(
             LATE_LINE_LENGTHS[-1] * mult * freq + max_mod_delay * freq)) + 4)
-        # Ring lengths must be chunk multiples so chunk writes never wrap.
+        # Ring lengths must be chunk multiples so chunk writes never wrap,
+        # and at least MIRROR rows long so the Pallas kernel's mirrored-ring
+        # staging (ops/pallas/reverb.py run_pipeline_pallas) never truncates
+        # its wrap-free read window.  Ring-modulo semantics are length-
+        # agnostic above the required minimum, so the floor is harmless for
+        # the jnp path.
         for name in ("len_main", "len_late_in", "len_early_ap", "len_early",
                      "len_vecap", "len_late"):
-            setattr(self, name, max(getattr(self, name), 2 * self.chunk))
+            setattr(self, name, max(getattr(self, name), 2 * self.chunk,
+                                    1024))
 
         self.upmix = device.layout.ambi_order > 1
         if self.upmix:
@@ -341,6 +361,13 @@ class ReverbEffect(EffectState):
             st["split_early"] = jnp.zeros((NUM_LINES, 3), jnp.float32)
             st["split_late"] = jnp.zeros((NUM_LINES, 3), jnp.float32)
         return st
+
+    def max_window(self) -> int:
+        # The only full-window ring write is the main input line
+        # (process(): _ring_write(main, offset, ain, T)); all other rings
+        # write at CHUNK granularity inside the scans.  Power-of-two
+        # windows up to len_main land on aligned offsets and never wrap.
+        return self.len_main
 
     def device_update(self, buffer=None) -> dict:
         from ..ops import filters as f_ops
@@ -467,7 +494,7 @@ class ReverbEffect(EffectState):
         hp = _shelf("lowshelf", lf0, p["gain_lf"])
 
         # 3D panning (update3DPanning, reverb.cpp:1139-1207)
-        gain = f32(slot.gain * 1.0)  # ReverbBoost default 1
+        gain = f32(slot.gain * _reverb_boost())  # [reverb] boost config key
         g_early, g_late = self._pan_gains(
             p["reflections_pan"], p["late_reverb_pan"],
             f32(p["reflections_gain"] * gain), f32(p["late_reverb_gain"] * gain))
@@ -549,12 +576,28 @@ class ReverbEffect(EffectState):
 
     # -- device half ----------------------------------------------------------
 
+    def _pallas_eligible(self, T: int) -> bool:
+        """Whole-pipeline Pallas kernel (ops/pallas/reverb.py): TPU device,
+        the standard 256-sample chunk, no A/B crossfade in flight, and a
+        wide window — the kernel's fixed cost (ring staging + dispatch)
+        amortizes past ~16 chunks (measured: 0.063 ms/1024-block at
+        W=16384 vs the jnp pipeline's 0.662; the jnp path wins below
+        ~4096, tools/bench_reverb.py)."""
+        from ..ops.pallas import reverb as rev_pallas
+
+        return (getattr(self.device, "_pallas_ok", False)
+                and getattr(self.device, "_pallas_reverb", True)
+                and self.chunk == rev_pallas.CH and T % self.chunk == 0
+                and T >= 4096 and not self._old_active)
+
     def process(self, state: dict, params: dict, wet: jax.Array, T: int):
         b2a = jnp.asarray(B2A)
         ain = jnp.einsum("cd,dt->ct", b2a, wet[:NUM_LINES],
                          precision=jax.lax.Precision.HIGHEST)
 
         offset0 = state["offset"]
+        if self._pallas_eligible(T):
+            return self._process_pallas(state, params, ain, offset0, T)
         main = _ring_write(state["main"], offset0, ain, T)
 
         pA, earlyA, lateA = self._run_pipeline(
@@ -588,8 +631,95 @@ class ReverbEffect(EffectState):
             new_state["B"]["g_late_cur"] = new_cur[3 * n:]
         return contrib, None, new_state
 
+    def _process_pallas(self, state: dict, params: dict, ain, offset0,
+                        T: int):
+        """process() via the whole-pipeline Pallas kernel (single active
+        pipeline; the kernel also performs the main-line input write)."""
+        from ..ops.pallas import reverb as rev_pallas
+
+        g = lambda k: jnp.asarray(params[k])
+        pst = state["A"]
+        serial = jnp.asarray(params["serial"])
+        do_fade0 = pst["serial_done"] != serial
+
+        def bc4(x):
+            return jnp.broadcast_to(jnp.asarray(x, jnp.float32).reshape(-1),
+                                    (NUM_LINES,))
+
+        params_i = jnp.concatenate([
+            g("early_taps0").astype(jnp.int32),
+            g("early_taps1").astype(jnp.int32),
+            g("late_taps0").astype(jnp.int32),
+            g("late_taps1").astype(jnp.int32),
+            g("e_ap_off").astype(jnp.int32),
+            g("e_off").astype(jnp.int32),
+            g("l_ap_off").astype(jnp.int32),
+            g("l_off").astype(jnp.int32),
+            g("mod_step").astype(jnp.int32).reshape(1),
+        ])
+        params_f = jnp.concatenate([
+            bc4(g("early_coeff0")), bc4(g("early_coeff1")),
+            bc4(g("e_coeff")), bc4(g("t60_mid")), bc4(g("density_gain")),
+            jnp.stack([g("e_ap_coeff"), g("l_ap_coeff"), g("mix_x"),
+                       g("mix_y"), g("mod_depth")]).astype(jnp.float32),
+            jnp.zeros(7, jnp.float32),
+        ])
+        cf = jnp.zeros((16, 128), jnp.float32)
+        cf = cf.at[0:4, 0:5].set(jnp.broadcast_to(g("lp"), (NUM_LINES, 5)))
+        cf = cf.at[4:8, 0:5].set(jnp.broadcast_to(g("hp"), (NUM_LINES, 5)))
+        cf = cf.at[8:12, 0:5].set(jnp.broadcast_to(g("t60_hf"),
+                                                   (NUM_LINES, 5)))
+        cf = cf.at[12:16, 0:5].set(jnp.broadcast_to(g("t60_lf"),
+                                                    (NUM_LINES, 5)))
+
+        st_in = dict(pst)
+        st_in["main"] = state["main"]
+        early, late, st2 = rev_pallas.run_pipeline_pallas(
+            ain, st_in, params_i, params_f, cf, jnp.asarray(_CUBIC_TAB8),
+            offset0, pst["mod_index"], do_fade0, T,
+            mod_win=self.mod_win, e_passes=self.early_ap_passes,
+            l_passes=self.late_ap_passes)
+        main2 = st2.pop("main")
+        st2["mod_index"] = (pst["mod_index"].astype(jnp.uint32)
+                            + jnp.uint32(T)
+                            * g("mod_step").astype(jnp.uint32))
+        st2["serial_done"] = jnp.where(do_fade0, serial,
+                                       pst["serial_done"])
+
+        ge, gl = g("g_early"), g("g_late")
+        if self.upmix:
+            from ..ops import filters as f_ops
+            a2b_e = jnp.asarray(EARLY_A2B)
+            a2b_l = jnp.asarray(LATE_A2B)
+            hfs = jnp.asarray(np.array(
+                [self.order_scales[0]] + [self.order_scales[1]] * 3, f32))
+            be = jnp.einsum("cj,jt->ct", a2b_e, early,
+                            precision=jax.lax.Precision.HIGHEST)
+            bl = jnp.einsum("cj,jt->ct", a2b_l, late,
+                            precision=jax.lax.Precision.HIGHEST)
+            be, se = f_ops.band_split_hf_scale(
+                be, st2["split_early"], jnp.float32(self._splitter_coeff),
+                hfs)
+            bl, sl = f_ops.band_split_hf_scale(
+                bl, st2["split_late"], jnp.float32(self._splitter_coeff),
+                hfs)
+            st2["split_early"], st2["split_late"] = se, sl
+            early, late = be, bl
+
+        new_state = {"offset": (offset0 + T) % (1 << 30), "main": main2,
+                     "A": st2, "B": state["B"]}
+        taps = jnp.concatenate([early, late], axis=0)
+        tgt = jnp.concatenate([ge, gl], axis=0)
+        cur = jnp.concatenate([pst["g_early_cur"], pst["g_late_cur"]],
+                              axis=0)
+        contrib, new_cur = effect_mix(taps, cur, tgt, T)
+        n = NUM_LINES
+        new_state["A"]["g_early_cur"] = new_cur[:n]
+        new_state["A"]["g_late_cur"] = new_cur[n:2 * n]
+        return contrib, None, new_state
+
     def _run_pipeline(self, pst: dict, params: dict, main, offset0, T: int,
-                      prefix: str):
+                      prefix: str, debug: bool = False):
         """One ReverbPipeline over a block; returns (state', early, late)."""
         CH = self.chunk
         g = lambda k: jnp.asarray(params[prefix + k])
@@ -628,6 +758,7 @@ class ReverbEffect(EffectState):
                     main, et1)
             fadec = fade_step * i_ch
             tmp = w0 * c0 * (1.0 - fadec) + w1 * ec1 * fadec
+            tmp0_dbg = tmp
 
             # Master band filters (dual biquad, constant coeffs).
             y0, lp_z = _const_biquad(tmp, st["lp_z"], jnp.broadcast_to(
@@ -674,10 +805,18 @@ class ReverbEffect(EffectState):
 
             st = dict(st, lp_z=lp_z, hp_z=hp_z, early_ap=early_ap,
                       early_dl=early_dl, late_in=late_in)
+            if debug:
+                return (st, off + CH), (early_out, {
+                    "taps": tmp0_dbg, "lp": y0, "hp": y1,
+                    "eapd": d_est, "eap": yap, "refl": refl,
+                    "dread": dread, "sc": sc})
             return (st, off + CH), early_out
 
         (pst1, _), early = jax.lax.scan(
             early_chunk, (dict(pst), offset0), jnp.arange(n_chunks))
+        dbg_early = {}
+        if debug:
+            early, dbg_early = early
         early = jnp.transpose(early, (1, 0, 2)).reshape(NUM_LINES, T)
 
         def late_chunk(carry, k):
@@ -713,6 +852,7 @@ class ReverbEffect(EffectState):
                                                axis=1)
                 acc = acc + gathered * ctab[None, :, tap]
             tmp = acc * t60_mid[:, None]
+            mod_dbg = tmp
 
             # T60 damping (HF then LF shelf).
             yh, t60_hf_z = _biquad_chunked_single(
@@ -735,6 +875,7 @@ class ReverbEffect(EffectState):
             fade0 = density_gain - step[:, None] * i_ch[None, :]
             fade1 = step[:, None] * i_ch[None, :]
             tmp = tmp + w0 * fade0 + w1 * fade1
+            lin_dbg = tmp
 
             # Vector all-pass (VecAllpass::process) by fixed-point iteration.
             ring = st["vecap"]
@@ -761,10 +902,18 @@ class ReverbEffect(EffectState):
 
             st = dict(st, mod_index=mod_index, t60_hf_z=t60_hf_z,
                       t60_lf_z=t60_lf_z, vecap=vecap, late_dl=late_dl)
+            if debug:
+                return (st, off + CH), (out, {
+                    "mod": mod_dbg, "t60": yl, "lin": lin_dbg,
+                    "vapd": d_est, "rev": rev})
             return (st, off + CH), out
 
         (pst2, _), late = jax.lax.scan(
             late_chunk, (pst1, offset0), jnp.arange(n_chunks))
+        dbg_late = {}
+        if debug:
+            late, dbg_late = late
+            self._dbg_stages = {**dbg_early, **dbg_late}
         late = jnp.transpose(late, (1, 0, 2)).reshape(NUM_LINES, T)
 
         pst2["serial_done"] = jnp.where(do_fade0, serial, pst2["serial_done"])
