@@ -93,7 +93,6 @@ def vmem_bytes(T: int, max_inc: int, taps: int, vrows: int,
     rows = T // LANE
     wt_lanes = max(((taps * 32 + LANE - 1) // LANE) * LANE, LANE)
     r = (PADMAX + vrows + msr + 1)          # pool image
-    r += nv * msr                           # sv
     r += wc * nv * rows                     # wins
     r += 2 * nv * rows                      # out (double-buffered)
     b = r * LANE * 4
@@ -117,7 +116,7 @@ def _kernel(meta_sref,                     # [V*16] int32 scalar prefetch
             fil_ref, phd_ref, scd_ref, spd_ref,   # [52,taps,128] VMEM
             pool_ref,                      # HBM [P/128, 128]
             out_ref,                       # [NV, rows, LANE] VMEM
-            pvm_ref, sv_ref, wins_ref, wt_ref, sems,
+            pvm_ref, wins_ref, wt_ref, sems,
             *, T: int, taps: int, nv: int, n256: int, n64: int,
             pvm_rows: int, wc: int, gr: int, kw: int, msr: int):
     rows = T // LANE
@@ -159,53 +158,6 @@ def _kernel(meta_sref,                     # [V*16] int32 scalar prefetch
                 meta_sref[b + 5] != 0, meta_sref[b + 6], meta_sref[b + 7],
                 meta_sref[b + 8])
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (msr, LANE), 1)
-    m_iota = jax.lax.broadcasted_iota(jnp.int32, (msr, LANE), 0) * LANE + lane
-
-    # ---- per voice: build the fully-resolved stream image ------------------
-    def build_body(v):
-        off, ln, ls, le, hl, hw, p0, f0, _inc = scalars(v)
-        ll = jnp.maximum(le - ls, 1)
-        b = p0 + (f0 >> MIXER_FRAC_BITS) - center
-        b = jnp.where(hl & hw & (b < ls), b + ll, b)
-        rb = jnp.where(hl, b, jnp.minimum(b, jnp.maximum(ln - 1, 0)))
-        D = jnp.where(hl, le - rb, jnp.int32(_BIGDIST))
-
-        def img(a):
-            f = a & (LANE - 1)
-            r0 = jnp.clip((a - f) >> 7, 0, pvm_rows - (msr + 1))
-            S = pvm_ref[pl.ds(r0, msr + 1)]
-            rolled = pltpu.roll(S, (LANE - f) & (LANE - 1), 1)
-            return jnp.where(lane < LANE - f, rolled[:msr], rolled[1:])
-
-        A = img(off + rb)
-        lc = jnp.maximum(ln - 1, 0) - rb
-        ext = msr * LANE
-        fast = jnp.where(hl, (D >= ext) & (rb >= 0),
-                         (rb >= 0) & (lc >= ext - 1))
-
-        @pl.when(fast)
-        def _():
-            sv_ref[v] = A
-
-        @pl.when(~fast)
-        def _():
-            B = img(off + ls - D)
-            # Non-loop end clamp: splat the final frame over [lc+1, ...)
-            # (voice.cpp:493-505).
-            lci = jnp.clip(lc, 0, ext - 1)
-            last = jnp.sum(jnp.where(m_iota == lci, A, 0.0))
-            sv = jnp.where(hl & (m_iota >= D), B, A)
-            sv = jnp.where(~hl & (m_iota > lc), last, sv)
-            # Beyond one full loop image lies unmerged garbage; the window
-            # never reaches it (plan: loop_len >= window span) but the
-            # assembly matmul's group slices might — keep every row finite.
-            sv = jnp.where(hl & (m_iota >= D + ll), 0.0, sv)
-            sv_ref[v] = jnp.where((m_iota >= -rb) & (ln > 0), sv, 0.0)
-
-    for _v in range(nv):
-        build_body(_v)
-
     # ---- per voice: phase-weight tables (resample2 layout) -----------------
     wt_lanes = wt_ref.shape[1] // 2
     for v in range(nv):
@@ -222,18 +174,57 @@ def _kernel(meta_sref,                     # [V*16] int32 scalar prefetch
                 jnp.broadcast_to(wdj[None, :], (rows, 32))
 
     # ---- per (voice, group): one-hot MXU window assembly --------------------
+    # The merged stream slice is built on the fly from the staged pool
+    # image (loop seam + end clamp + pre-start silence as [kw,128]
+    # selects) — no per-voice resolved image is ever materialized; the
+    # round-4 design staged one through VMEM and its traffic dominated
+    # the kernel (0.45 of 0.92 ms/block).  A seam-aware pl.when split
+    # that skips the B read for plain groups measured slower (1.20
+    # ms/block) — branch duplication costs more than the loads.
     c_iota = jax.lax.broadcasted_iota(jnp.int32, (wc, gr, kw), 0)
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (wc, gr, kw), 1)
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (wc, gr, kw), 2)
+    lane_k = jax.lax.broadcasted_iota(jnp.int32, (kw, LANE), 1)
+    mk_iota = (jax.lax.broadcasted_iota(jnp.int32, (kw, LANE), 0) * LANE
+               + lane_k)
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
     n_groups = -(-rows // gr)
     for v in range(nv):
-        _, _, _, _, _, _, _, f0, inc = scalars(v)
+        off, ln, ls, le, hl, hw, p0, f0, inc = scalars(v)
         base = f0 >> MIXER_FRAC_BITS
+        ll = jnp.maximum(le - ls, 1)
+        b = p0 + (f0 >> MIXER_FRAC_BITS) - center
+        b = jnp.where(hl & hw & (b < ls), b + ll, b)
+        rb = jnp.where(hl, b, jnp.minimum(b, jnp.maximum(ln - 1, 0)))
+        D = jnp.where(hl, le - rb, jnp.int32(_BIGDIST))
+        lc = jnp.maximum(ln - 1, 0) - rb
+        ext = msr * LANE
+        # Last-frame value (non-loop end clamp, voice.cpp:493-505) from
+        # one image row.
+        aL = off + rb + jnp.clip(lc, 0, ext - 1)
+        rL = jnp.clip(aL >> 7, 0, pvm_rows - 1)
+        last = jnp.sum(jnp.where(lane1 == (aL & (LANE - 1)),
+                                 pvm_ref[pl.ds(rL, 1)], 0.0))
+
+        def img_sl(a):
+            f = a & (LANE - 1)
+            r0 = jnp.clip((a - f) >> 7, 0, pvm_rows - (kw + 2))
+            S = pvm_ref[pl.ds(r0, kw + 1)]
+            rolled = pltpu.roll(S, (LANE - f) & (LANE - 1), 1)
+            return jnp.where(lane_k < LANE - f, rolled[:kw], rolled[1:])
+
         for g in range(n_groups):
             g0 = g * gr
             gb = jnp.clip((((f0 + (g0 * LANE) * inc) >> MIXER_FRAC_BITS)
                            - base) >> 7, 0, msr - kw)
-            rhs = sv_ref[v, pl.ds(gb, kw)]                       # [kw, 128]
+            mb = gb * LANE
+            m_sl = mb + mk_iota
+            A = img_sl(off + rb + mb)
+            B = img_sl(off + ls - D + mb)
+            sv = jnp.where(hl & (m_sl >= D), B, A)
+            sv = jnp.where(~hl & (m_sl > lc), last, sv)
+            sv = jnp.where(hl & (m_sl >= D + ll), 0.0, sv)
+            rhs = jnp.where((m_sl >= -rb) & (ln > 0), sv, 0.0)
             m0r = (((f0 + ((g0 + r_iota) * LANE) * inc)
                     >> MIXER_FRAC_BITS) - base)
             idx = (m0r >> 7) - gb + c_iota
@@ -316,7 +307,6 @@ def _resample3(meta, bank_sl, chunks, pool2d, *, T, taps, vrows, n256, n64,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((pvm_rows, LANE), jnp.float32),
-            pltpu.VMEM((nv, msr, LANE), jnp.float32),
             pltpu.VMEM((wc, nv, rows, LANE), jnp.float32),
             pltpu.VMEM((nv * rows, 2 * wt_lanes), jnp.float32),
             pltpu.SemaphoreType.DMA((n256 + n64,)),
