@@ -34,17 +34,27 @@ CHUNK_BLOCKS = 512            # dispatch horizon (amortizes the round trip)
 
 
 def _measure_rtt_ms() -> float:
-    """Empty-dispatch round trip: time a trivial jitted kernel."""
+    """Blocking-call transport floor: dispatch a fresh trivial kernel,
+    wait for its completion signal, and fetch its 8 KB output — the exact
+    sequence a single-block render pays per call.
+
+    (Round-4's probe timed block_until_ready on an op that had already
+    completed, which measures only Python overhead — hence the published
+    rtt_ms=0.04 contradicting the ~30 ms single-block medians.  Measured
+    on this rig: the completion-notify + D2H floor is ~24 ms regardless
+    of payload down to 8 KB, while extra QUEUED dispatches cost only
+    ~0.5 ms each — which is why deep pipelined horizons hit 45x+ while
+    per-block blocking calls sit at the floor; tools/probe_d2h.py.)"""
     import jax
     import jax.numpy as jnp
 
     f = jax.jit(lambda x: x + 1.0)
-    x = jnp.zeros(8, jnp.float32)
-    f(x).block_until_ready()
+    x = jnp.zeros((2, 1024), jnp.float32)
+    np.asarray(f(x))
     times = []
-    for _ in range(20):
+    for _ in range(10):
         t0 = time.perf_counter()
-        f(x).block_until_ready()
+        np.asarray(f(x))
         times.append(time.perf_counter() - t0)
     return float(np.median(times) * 1e3)
 
