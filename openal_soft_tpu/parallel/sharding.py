@@ -38,19 +38,31 @@ def _voice_spec(tree: dict, capacity: int) -> dict:
 def make_sharded_device_step(dev, mesh: Mesh, T: int):
     """Shard the full RenderDevice block graph over the mesh's voice axis.
 
-    Returns f(state, ev, cfg, pool) -> (out [C, T], new_state) with rows and
-    per-voice state sharded; drop-in comparable with the single-device
-    ``dev._render_one``.  Uses the jnp resampler path (rs_plan=None): the
-    Pallas kernel targets the TPU backend and the validation mesh may be
-    virtual-CPU.
+    Returns f(state, ev, cfg, pool) -> (out [C, T], new_state, new_ev) with
+    rows and per-voice state sharded; drop-in comparable with the
+    single-device ``dev._render_one``.  Feeding (new_state, new_ev) back in
+    renders consecutive blocks with carried state (filter z's, HRTF/UHJ
+    histories, effect rings) — the multi-block path the driver dryrun and
+    tests/test_sharding.py exercise.  Uses the jnp resampler path
+    (rs_plan=None): the Pallas kernel targets the TPU backend and the
+    validation mesh may be virtual-CPU.
     """
     L = dev.capacity
 
     def step(state, ev, cfg, pool):
-        out, new_state, _ = dev._render_one(
-            state, ev, cfg, pool, T, dev._taps, None,
-            axis_name=VOICE_AXIS)
-        return out, new_state
+        # Pallas kernels (resampler, reverb pipeline) target the TPU
+        # backend; the validation mesh may be virtual-CPU, so flip the
+        # device's kernel gate off for this trace (trace-time only — the
+        # flag is restored before the traced graph ever runs).
+        saved = dev._pallas_ok
+        dev._pallas_ok = False
+        try:
+            out, new_state, new_ev = dev._render_one(
+                state, ev, cfg, pool, T, dev._taps, None,
+                axis_name=VOICE_AXIS)
+        finally:
+            dev._pallas_ok = saved
+        return out, new_state, new_ev
 
     def build(state, ev, cfg, pool):
         state_specs = _voice_spec(state, L)
@@ -63,7 +75,7 @@ def make_sharded_device_step(dev, mesh: Mesh, T: int):
         sharded = shard_map(
             step, mesh=mesh,
             in_specs=(state_specs, ev_specs, cfg_specs, P()),
-            out_specs=(P(), state_specs),
+            out_specs=(P(), state_specs, ev_specs),
             check_rep=False)
         return jax.jit(sharded)
 

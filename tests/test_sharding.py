@@ -2,8 +2,12 @@
 
 Runs the full device block graph (resample -> UHJ decode -> filters -> mix
 -> HRTF accumulation -> effects) under shard_map on a virtual CPU mesh and
-asserts equality with the single-device graph.  The psum reduction order
-differs from the single-device tree sum by f32 reassociation only.
+asserts equality with the single-device graph — for a single block, for
+consecutive blocks with carried state, and for block-split invariance
+(N carried T-blocks == one N*T window), the property where state-carry
+bugs hide (reference state analogs: core/voice.h:242-248,
+core/device.h:285-288).  The psum reduction order differs from the
+single-device tree sum by f32 reassociation only.
 """
 
 import numpy as np
@@ -19,31 +23,28 @@ def _cpu_devices():
         return []
 
 
-@pytest.mark.skipif(len(_cpu_devices()) < 2,
-                    reason="needs a multi-device host platform "
-                           "(--xla_force_host_platform_device_count)")
-def test_sharded_flagship_step():
-    from jax.sharding import Mesh
+needs_mesh = pytest.mark.skipif(
+    len(_cpu_devices()) < 2,
+    reason="needs a multi-device host platform "
+           "(--xla_force_host_platform_device_count)")
 
+
+def _scene(n_dev, capacity=None, effect="echo", seed=1):
     from openal_soft_tpu.alc.device import LoopbackDevice
-    from openal_soft_tpu.parallel import sharding as sh
 
-    n_dev = min(len(_cpu_devices()), 4)
-    devices = np.array(_cpu_devices()[:n_dev])
-    mesh = Mesh(devices, ("voices",))
-
+    capacity = capacity or 2 * n_dev
     dev = LoopbackDevice(frequency=48000, channels="stereo",
-                         sample_type="float32", capacity=2 * n_dev, hrtf=True)
+                         sample_type="float32", capacity=capacity, hrtf=True)
     ctx = dev.create_context()
     slot = ctx.create_aux_slot()
-    eff = ctx.create_effect("echo")
+    eff = ctx.create_effect(effect)
     slot.set_effect(eff)
-    rng = np.random.default_rng(1)
+    rng = np.random.default_rng(seed)
     t = np.arange(9600) / 48000.0
     buf = ctx.create_buffer()
     buf.set_data((0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32),
                  "mono", "float32", 48000)
-    for i in range(2 * n_dev - 1):
+    for i in range(capacity - 1):
         src = ctx.create_source()
         src.buffer(buf)
         src.looping = True
@@ -51,15 +52,28 @@ def test_sharded_flagship_step():
         src.set("pitch", float(2.0 ** rng.uniform(-0.5, 0.5)))
         src.send(slot, 0)
         src.play()
+    return dev
 
+
+@needs_mesh
+def test_sharded_flagship_step():
+    from jax.sharding import Mesh
+
+    from openal_soft_tpu.parallel import sharding as sh
+
+    n_dev = min(len(_cpu_devices()), 4)
+    devices = np.array(_cpu_devices()[:n_dev])
+    mesh = Mesh(devices, ("voices",))
+
+    dev = _scene(n_dev)
     T = 256
     state, ev, cfg, pool = sh.device_step_inputs(dev, T)
     step = sh.make_sharded_device_step(dev, mesh, T)(state, ev, cfg, pool)
-    out, new_state = step(state, ev, cfg, pool)
+    out, new_state, _ = step(state, ev, cfg, pool)
 
     mesh1 = Mesh(devices[:1], ("voices",))
     step1 = sh.make_sharded_device_step(dev, mesh1, T)(state, ev, cfg, pool)
-    ref, ref_state = step1(state, ev, cfg, pool)
+    ref, ref_state, _ = step1(state, ev, cfg, pool)
 
     assert np.isfinite(np.asarray(out)).all()
     assert np.abs(np.asarray(out) - np.asarray(ref)).max() <= 2e-6
@@ -67,3 +81,78 @@ def test_sharded_flagship_step():
     a = np.asarray(new_state["filter_z"])
     b = np.asarray(ref_state["filter_z"])
     assert np.abs(a - b).max() <= 1e-6
+
+
+@needs_mesh
+def test_sharded_multiblock_carried_state():
+    """4 consecutive sharded blocks with carried state == single-device."""
+    from jax.sharding import Mesh
+
+    from openal_soft_tpu.parallel import sharding as sh
+
+    n_dev = min(len(_cpu_devices()), 4)
+    devices = np.array(_cpu_devices()[:n_dev])
+    mesh = Mesh(devices, ("voices",))
+    mesh1 = Mesh(devices[:1], ("voices",))
+
+    dev = _scene(n_dev, effect="eaxreverb", seed=3)
+    T = 256
+    NB = 4
+    state, ev, cfg, pool = sh.device_step_inputs(dev, T)
+    step = sh.make_sharded_device_step(dev, mesh, T)(state, ev, cfg, pool)
+    step1 = sh.make_sharded_device_step(dev, mesh1, T)(state, ev, cfg, pool)
+
+    outs, st, e = [], state, ev
+    for _ in range(NB):
+        o, st, e = step(st, e, cfg, pool)
+        outs.append(np.asarray(o))
+    refs, st1, e1 = [], state, ev
+    for _ in range(NB):
+        o, st1, e1 = step1(st1, e1, cfg, pool)
+        refs.append(np.asarray(o))
+
+    full = np.concatenate(outs, axis=-1)
+    ref_full = np.concatenate(refs, axis=-1)
+    assert np.isfinite(full).all()
+    assert np.abs(full - ref_full).max() <= 5e-6
+    # Carried per-voice state after the horizon matches too.
+    for k in ("filter_z", "hrtf_history", "hrtf_tail"):
+        if k in st:
+            assert np.abs(np.asarray(st[k])
+                          - np.asarray(st1[k])).max() <= 5e-6, k
+    # Positions advanced identically (ev carries the voice clocks).
+    assert np.array_equal(np.asarray(e["pos_int"]), np.asarray(e1["pos_int"]))
+
+
+@needs_mesh
+def test_sharded_block_split_invariance():
+    """One 2T window == 2 carried T-blocks, both under sharding."""
+    from jax.sharding import Mesh
+
+    from openal_soft_tpu.parallel import sharding as sh
+
+    n_dev = min(len(_cpu_devices()), 4)
+    devices = np.array(_cpu_devices()[:n_dev])
+    mesh = Mesh(devices, ("voices",))
+
+    dev = _scene(n_dev, effect="eaxreverb", seed=5)
+    T = 256
+    NB = 2   # wide windows >=1024 trip XLA:CPU's "Very slow compile"
+             # pathology on a 1-core rig; 2x256 vs 1x512 still pins the
+             # carried-state split semantics
+    state, ev, cfg, pool = sh.device_step_inputs(dev, T)
+    step = sh.make_sharded_device_step(dev, mesh, T)(state, ev, cfg, pool)
+    outs, st, e = [], state, ev
+    for _ in range(NB):
+        o, st, e = step(st, e, cfg, pool)
+        outs.append(np.asarray(o))
+    full = np.concatenate(outs, axis=-1)
+
+    stepw = sh.make_sharded_device_step(dev, mesh, NB * T)(state, ev, cfg,
+                                                           pool)
+    outw, stw, _ = stepw(state, ev, cfg, pool)
+    assert np.abs(np.asarray(outw) - full).max() <= 5e-6
+    for k in ("filter_z", "hrtf_tail"):
+        if k in st:
+            assert np.abs(np.asarray(stw[k])
+                          - np.asarray(st[k])).max() <= 5e-6, k
