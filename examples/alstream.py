@@ -34,6 +34,12 @@ def main() -> None:
     ap.add_argument("-o", "--out", default="stream.wav")
     ap.add_argument("--realtime", action="store_true",
                     help="pace the render loop against the wall clock")
+    ap.add_argument("--block-ms", type=int, default=100,
+                    help="render cadence; every blocking render pays the "
+                         "~24 ms tunnel completion+fetch floor "
+                         "(PROFILE.md), so 100 ms blocks leave 4x "
+                         "realtime headroom where 20 ms blocks cannot "
+                         "keep up")
     args = ap.parse_args()
 
     in_rate, styp, chans, arr = _read_wav(args.input)
@@ -77,7 +83,7 @@ def main() -> None:
     api.alSourcePlay(src)
 
     out_blocks = []
-    block = RATE * 20 // 1000          # 20 ms render cadence
+    block = RATE * args.block_ms // 1000
     t0 = time.perf_counter()
     rendered = 0
     while True:
