@@ -60,9 +60,14 @@ class HrirSet:
 
     def __init__(self, rate: int, fields, irs: np.ndarray,
                  delays: np.ndarray | None = None,
-                 radius: float = SOFA_HEAD_RADIUS) -> None:
+                 radius: float = SOFA_HEAD_RADIUS,
+                 ev_starts=None) -> None:
         self.rate = int(rate)
         self.fields = [(float(d), list(map(int, az))) for d, az in fields]
+        # First MEASURED elevation per field (mEvStart): positions below it
+        # are synthesized (SynthesizeOnsets/SynthesizeHrirs).
+        self.ev_starts = list(ev_starts) if ev_starts else [0] * len(
+            self.fields)
         self.irs = np.asarray(irs, np.float64)
         n, c, _ = self.irs.shape
         self.delays = (np.zeros((n, c)) if delays is None
@@ -122,6 +127,8 @@ def _df_weights(hset: HrirSet) -> np.ndarray:
         for xfi, ei, ev, azn, off in hset.elevations():
             if xfi != fi:
                 continue
+            if ei < hset.ev_starts[fi]:
+                continue   # synthesized below mEvStart: no DFA weight
             lower = max(-np.pi / 2, ev - evs)
             upper = min(np.pi / 2, ev + evs)
             solid_angle = 2.0 * np.pi * (np.sin(upper) - np.sin(lower))
@@ -298,6 +305,10 @@ def process_hrir_set(hset: HrirSet, out_path: str,
     if equalize:
         dfa = diffuse_field_average(hset, mags, fft_size, surface, limit)
         mags = mags / dfa[None]
+    if any(hset.ev_starts):
+        if model == "dataset":
+            onsets = synthesize_onsets(hset, onsets)
+        mags = synthesize_hrirs(hset, mags, fft_size)
     irs = minimum_phase(mags, fft_size, trunc_size)
     irs = normalize_hrirs(irs)
     delays = calc_hrtds(hset, onsets, model, radius)
@@ -338,8 +349,336 @@ def load_sofa(path: str) -> HrirSet:
     return HrirSet(rate, fields, ir[index].astype(np.float64))
 
 
+# --- HRIR definition files (.def) ---------------------------------------------
+#
+# The reference's loaddef.cpp compiles definition files that lay out the
+# measurement grid and assign WAV/ASCII sources per (field, elevation,
+# azimuth).  This implements the load-bearing subset the shipped .def
+# files use (utils/MIT_KEMAR.def, CIAIR.def): the rate/type/points/
+# radius/distance/azimuths metrics, `[fd?, ev, az] = src (+ src)*`
+# elements, and `wave (ch)` / `ascii (fp)` source references with
+# optional left/right ear tags.  Missing low elevations are synthesized
+# per the reference (SynthesizeOnsets/SynthesizeHrirs).
+
+_DEF_TOKEN = None   # lazy-compiled tokenizer
+
+
+def _def_tokens(text: str):
+    import re
+
+    global _DEF_TOKEN
+    if _DEF_TOKEN is None:
+        _DEF_TOKEN = re.compile(
+            r"\s*(?:(#[^\n]*)|(\"[^\"]*\"|\'[^\']*\')|"
+            r"([A-Za-z_][A-Za-z0-9_]*)|"
+            r"([-+]?[0-9]*\.?[0-9]+(?:[eE][-+]?[0-9]+)?)|"
+            r"([\[\]=,;:()+|]))")
+    import re as _re
+    ws = _re.compile(r"\s+")
+    pos = 0
+    while pos < len(text):
+        w = ws.match(text, pos)
+        if w:
+            pos = w.end()
+            continue
+        m = _DEF_TOKEN.match(text, pos)
+        if not m or m.end() == pos:
+            raise ValueError(f"def parse error near: {text[pos:pos+40]!r}")
+        pos = m.end()
+        if m.group(1):
+            continue
+        if m.group(2):
+            yield ("str", m.group(2)[1:-1])
+        elif m.group(3):
+            yield ("ident", m.group(3))
+        elif m.group(4):
+            yield ("num", m.group(4))
+        else:
+            yield ("op", m.group(5))
+
+
+class _Toks:
+    def __init__(self, text):
+        self.toks = list(_def_tokens(text))
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def next(self, kind=None, value=None):
+        k, v = self.peek()
+        if kind and k != kind:
+            raise ValueError(f"expected {kind}, got {k} {v!r}")
+        if value is not None and v != value:
+            raise ValueError(f"expected {value!r}, got {v!r}")
+        self.i += 1
+        return v
+
+
+def _read_wave_channel(path, channel: int, rate: int) -> np.ndarray:
+    from ..alc.capture import _read_wav
+    from ..core.devformat import FmtType, decode_to_float32
+
+    wrate, styp, chans, arr = _read_wav(str(path))
+    if wrate != rate:
+        raise ValueError(f"{path}: rate {wrate} != dataset rate {rate}")
+    flat = decode_to_float32(np.asarray(arr).ravel(), FmtType(styp))
+    nch = 2 if chans == "stereo" else 1
+    frames = flat.size // nch
+    return flat[:frames * nch].reshape(frames, nch)[:, channel
+                                                    ].astype(np.float64)
+
+
+def _read_ascii_fp(path) -> np.ndarray:
+    vals = []
+    with open(path) as f:
+        for line in f:
+            for tok in line.replace(",", " ").replace(";", " ").split():
+                try:
+                    vals.append(float(tok))
+                except ValueError:
+                    pass
+    return np.asarray(vals, np.float64)
+
+
+def load_def(path: str) -> HrirSet:
+    """Compile an HRIR definition file into a gridded set
+    (loaddef.cpp:1190-1680 subset; see module section comment)."""
+    import os
+
+    base = os.path.dirname(os.path.abspath(path))
+    tr = _Toks(open(path).read())
+
+    rate = None
+    points = None
+    radius = SOFA_HEAD_RADIUS
+    stereo = False
+    distances = []
+    az_fields = []
+    while tr.peek()[0] == "ident":
+        key = tr.next("ident").lower()
+        tr.next("op", "=")
+        if key == "rate":
+            rate = int(float(tr.next("num")))
+        elif key == "points":
+            points = int(float(tr.next("num")))
+        elif key == "radius":
+            radius = float(tr.next("num"))
+        elif key == "type":
+            stereo = tr.next("ident").lower() == "stereo"
+        elif key == "distance":
+            distances = [float(tr.next("num"))]
+            while tr.peek() == ("op", ","):
+                tr.next()
+                distances.append(float(tr.next("num")))
+        elif key == "azimuths":
+            field = [int(float(tr.next("num")))]
+            az_fields = [field]
+            while tr.peek()[1] in (",", ";"):
+                if tr.next() == ";":
+                    field = []
+                    az_fields.append(field)
+                field.append(int(float(tr.next("num"))))
+        else:
+            raise ValueError(f"unknown def metric {key!r}")
+    if rate is None or points is None or not distances or not az_fields:
+        raise ValueError("def header incomplete "
+                         "(rate/points/distance/azimuths)")
+    if len(az_fields) != len(distances):
+        raise ValueError("distance/azimuths field counts differ")
+
+    fields = list(zip(distances, az_fields))
+    total = sum(sum(az) for _, az in fields)
+    channels = 2 if stereo else 1
+    irs = np.zeros((total, channels, points))
+    seen = np.zeros(total, bool)
+
+    def offset(fi, ei, ai):
+        off = sum(sum(az) for _, az in fields[:fi])
+        off += sum(fields[fi][1][:ei])
+        return off + ai
+
+    multi_field = len(fields) > 1
+    while tr.peek()[0] is not None:
+        tr.next("op", "[")
+        fi = 0
+        if multi_field:
+            fi = int(float(tr.next("num")))
+            tr.next("op", ",")
+        ei = int(float(tr.next("num")))
+        tr.next("op", ",")
+        ai = int(float(tr.next("num")))
+        tr.next("op", "]")
+        tr.next("op", "=")
+        per_ear = {0: [], 1: []}
+        while True:
+            fmt = tr.next("ident").lower()
+            tr.next("op", "(")
+            if fmt == "wave":
+                ch = int(float(tr.next("num")))
+                tr.next("op", ")")
+                tr.next("op", ":")
+                rel = tr.next("str")
+                data = _read_wave_channel(os.path.join(base, rel), ch, rate)
+            elif fmt == "ascii":
+                et = tr.next("ident").lower()
+                if et != "fp":
+                    raise ValueError("only ascii(fp) sources are supported")
+                tr.next("op", ")")
+                tr.next("op", ":")
+                rel = tr.next("str")
+                data = _read_ascii_fp(os.path.join(base, rel))
+            else:
+                raise ValueError(f"unsupported source format {fmt!r}")
+            ear = 0
+            if tr.peek() == ("ident", "left"):
+                tr.next()
+            elif tr.peek() == ("ident", "right"):
+                tr.next()
+                ear = 1
+            if data.size < points:
+                raise ValueError(f"{rel}: {data.size} samples < points")
+            per_ear[ear].append(data[:points])
+            if tr.peek() == ("op", "+"):
+                tr.next()
+                continue
+            break
+        row = offset(fi, ei, ai)
+        for ear, srcs in per_ear.items():
+            if not srcs:
+                continue
+            if ear >= channels:
+                raise ValueError("right-ear source in a mono set")
+            irs[row, ear] = np.mean(srcs, axis=0)
+        seen[row] = True
+
+    # First measured elevation per field; everything measured above it.
+    ev_starts = []
+    for fi, (_, az_counts) in enumerate(fields):
+        start = len(az_counts)
+        off = offset(fi, 0, 0)
+        for ei, azn in enumerate(az_counts):
+            got = seen[off:off + azn]
+            off += azn
+            if got.all():
+                start = min(start, ei)
+            elif got.any() or ei >= start:
+                raise ValueError(
+                    f"sparse definition at field {fi} elevation {ei}")
+        if start >= len(az_counts) or start > (len(az_counts) - 1) // 2:
+            raise ValueError(f"field {fi}: too few measured elevations")
+        ev_starts.append(start)
+    return HrirSet(rate, fields, irs, radius=radius, ev_starts=ev_starts)
+
+
+def _az_indices(azn: int, az: float):
+    """CalcAzIndices: bracketing azimuth indices + blend factor."""
+    f = (az % (2.0 * np.pi)) * azn / (2.0 * np.pi)
+    i0 = int(f) % azn
+    return i0, (i0 + 1) % azn, f - int(f)
+
+
+def synthesize_onsets(hset: HrirSet, onsets: np.ndarray) -> np.ndarray:
+    """SynthesizeOnsets (makemhr.cpp:586-712): fill missing low-elevation
+    delays by mirroring the top hemisphere (ears swapped for stereo,
+    azimuth front<->back mirrored for mono), then blend the upper half of
+    the gap from the lowest measured elevation down."""
+    out = onsets.copy()
+    stereo = hset.channels == 2
+    for fi, (_, az_counts) in enumerate(hset.fields):
+        ev_start = hset.ev_starts[fi]
+        if ev_start <= 0:
+            continue
+        nev = len(az_counts)
+        base = sum(sum(az) for _, az in hset.fields[:fi])
+
+        def roff(ei):
+            return base + sum(az_counts[:ei])
+
+        def ev_lookup(ei, az, t):
+            a0, a1, af = _az_indices(az_counts[ei], az)
+            col = out[roff(ei):roff(ei) + az_counts[ei], t]
+            return (1 - af) * col[a0] + af * col[a1]
+
+        top = nev - 1
+        if stereo:
+            out[roff(0), 0] = out[roff(top) + 0, 1]
+            out[roff(0), 1] = out[roff(top) + 0, 0]
+        else:
+            out[roff(0), 0] = out[roff(top), 0]
+        half = (ev_start + 1) // 2
+        for ei in range(1, half):
+            mirror_ei = nev - ei - 1
+            for ai in range(az_counts[ei]):
+                az = 2.0 * np.pi * ai / az_counts[ei]
+                if stereo:
+                    out[roff(ei) + ai, 0] = ev_lookup(mirror_ei,
+                                                      az + np.pi, 1)
+                    out[roff(ei) + ai, 1] = ev_lookup(mirror_ei,
+                                                      az + np.pi, 0)
+                else:
+                    out[roff(ei) + ai, 0] = ev_lookup(mirror_ei,
+                                                      np.pi - az, 0)
+        # Lower half of the gap: blend from the synthesized pole to the
+        # first measured elevation (makemhr.cpp:666-706).
+        for ei in range(half, ev_start):
+            of = ei / ev_start
+            for ai in range(az_counts[ei]):
+                az = 2.0 * np.pi * ai / az_counts[ei]
+                for t in range(hset.channels):
+                    s1 = ev_lookup(ev_start, az, t)
+                    out[roff(ei) + ai, t] = (
+                        (1 - of) * out[roff(0), t] + of * s1)
+    return out
+
+
+def synthesize_hrirs(hset: HrirSet, mags: np.ndarray, fft_size: int
+                     ) -> np.ndarray:
+    """SynthesizeHrirs (makemhr.cpp:716-830): synthesize the bottom pole
+    from the lowest measured ring (immediate-left/right response per
+    ear), then blend each missing elevation between the pole and the ring
+    with a body-occlusion low-pass (4 cascaded one-poles, b scaled by the
+    elevation fraction; magnitude via the closed-form response)."""
+    out = mags.copy()
+    m = fft_size // 2 + 1
+    beta = 3.5e-6 * hset.rate
+    w = 2.0 * np.pi * np.arange(m) / fft_size
+
+    def lp_mag(b):
+        num = (1.0 - b) ** 4
+        den = np.abs(1.0 - b * np.exp(-1j * w)) ** 4
+        return num / den
+
+    for fi, (_, az_counts) in enumerate(hset.fields):
+        ev_start = hset.ev_starts[fi]
+        if ev_start <= 0:
+            continue
+        base = sum(sum(az) for _, az in hset.fields[:fi])
+
+        def roff(ei):
+            return base + sum(az_counts[:ei])
+
+        ring = out[roff(ev_start):roff(ev_start) + az_counts[ev_start]]
+        for t in range(hset.channels):
+            az = -np.pi / 2 if t == 0 else np.pi / 2
+            a0, a1, af = _az_indices(az_counts[ev_start], az)
+            out[roff(0), t] = (1 - af) * ring[a0, t] + af * ring[a1, t]
+        for ei in range(1, ev_start):
+            of = ei / ev_start
+            filt = lp_mag((1.0 - of) * beta)
+            for ai in range(az_counts[ei]):
+                az = 2.0 * np.pi * ai / az_counts[ei]
+                a0, a1, af = _az_indices(az_counts[ev_start], az)
+                for t in range(hset.channels):
+                    s1 = (1 - af) * ring[a0, t] + af * ring[a1, t]
+                    s = (1 - of) * out[roff(0), t] + of * s1
+                    out[roff(ei) + ai, t] = s * filt
+        out[roff(0)] *= lp_mag(beta)[None]
+    return out
+
+
 def main() -> None:
-    p = argparse.ArgumentParser(description="SOFA -> mhr HRTF compiler")
+    p = argparse.ArgumentParser(description="SOFA/definition-file -> mhr HRTF compiler")
     p.add_argument("input")
     p.add_argument("output")
     p.add_argument("--fft-size", type=int, default=DEFAULT_FFT_SIZE)
@@ -351,7 +690,8 @@ def main() -> None:
                    default="dataset")
     p.add_argument("--radius", type=float, default=0.0)
     a = p.parse_args()
-    hset = load_sofa(a.input)
+    hset = (load_def(a.input) if a.input.lower().endswith(".def")
+            else load_sofa(a.input))
     process_hrir_set(hset, a.output, fft_size=a.fft_size,
                      equalize=not a.no_equalize, surface=not a.no_surface,
                      limit=a.limit, trunc_size=a.trunc, model=a.model,

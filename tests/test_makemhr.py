@@ -99,3 +99,83 @@ def test_sofa_roundtrip(tmp_path):
     makemhr.process_hrir_set(hset, str(out), fft_size=512, trunc_size=16)
     st = hrtf.load_mhr(str(out))
     assert st.coeffs.shape[0] == 12 and st.ir_size == 16
+
+
+def _write_wav16(path, data, rate):
+    import struct
+
+    pcm = np.clip(np.asarray(data) * 32767.0, -32768, 32767).astype("<i2")
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 36 + pcm.nbytes) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate,
+                                      rate * 2, 2, 16))
+        f.write(b"data" + struct.pack("<I", pcm.nbytes) + pcm.tobytes())
+
+
+def test_def_file_compiles_with_synthesis(tmp_path):
+    """A definition file with WAV sources and a missing bottom elevation
+    compiles into a loadable mhr; the missing elevation is synthesized
+    (loaddef.cpp grammar; SynthesizeOnsets/SynthesizeHrirs,
+    makemhr.cpp:586-830)."""
+    rng = np.random.default_rng(12)
+    az_counts = [1, 4, 6, 4, 1]
+    ir_size = 64
+    lines = [
+        "# synthetic set", "rate = 44100", "type = mono",
+        f"points = {ir_size}", "radius = 0.09", "distance = 1.0",
+        "azimuths = " + ", ".join(map(str, az_counts)),
+    ]
+    t = np.arange(ir_size)
+    for ei in range(1, len(az_counts)):        # elevation 0 left missing
+        for ai in range(az_counts[ei]):
+            onset = 3 + (ei * 3 + ai) % 9
+            ir = np.exp(-np.maximum(t - onset, 0) / 6.0) * (t >= onset)
+            ir = ir * (0.4 + 0.1 * rng.standard_normal(ir_size))
+            ir[onset] = 0.9
+            name = f"e{ei}a{ai}.wav"
+            _write_wav16(tmp_path / name, ir, RATE)
+            lines.append(f'[ {ei}, {ai} ] = wave (0) : "./{name}"')
+    (tmp_path / "set.def").write_text("\n".join(lines) + "\n")
+
+    hset = makemhr.load_def(str(tmp_path / "set.def"))
+    assert hset.channels == 1 and hset.ev_starts == [1]
+    out = tmp_path / "set.mhr"
+    makemhr.process_hrir_set(hset, str(out), fft_size=1024, trunc_size=32)
+
+    st = hrtf.load_mhr(str(out))
+    assert st.sample_rate == RATE
+    assert list(st.elev_az_counts) == az_counts
+    # The synthesized bottom pole carries real (nonzero) energy.
+    assert np.abs(st.coeffs[0]).max() > 1e-3
+    assert np.abs(st.coeffs).max() <= 1.0
+
+
+def test_def_stereo_ascii_sources(tmp_path):
+    """ascii(fp) sources with left/right ear tags build a stereo set
+    (CIAIR.def style)."""
+    az_counts = [1, 4, 1]
+    ir_size = 32
+    lines = ["rate = 44100", "type = stereo", f"points = {ir_size}",
+             "distance = 1.4",
+             "azimuths = " + ", ".join(map(str, az_counts))]
+    rng = np.random.default_rng(13)
+    n = 0
+    for ei in range(len(az_counts)):
+        for ai in range(az_counts[ei]):
+            for tag in ("left", "right"):
+                ir = rng.standard_normal(ir_size) * 0.3
+                ir[4 + n % 7] = 0.8
+                name = f"s{ei}_{ai}_{tag}.dat"
+                (tmp_path / name).write_text(
+                    " ".join(f"{v:.6f}" for v in ir))
+                n += 1
+            lines.append(
+                f'[ {ei}, {ai} ] = ascii (fp) : "./s{ei}_{ai}_left.dat" '
+                f'left + ascii (fp) : "./s{ei}_{ai}_right.dat" right')
+    (tmp_path / "set.def").write_text("\n".join(lines) + "\n")
+    hset = makemhr.load_def(str(tmp_path / "set.def"))
+    assert hset.channels == 2 and hset.ev_starts == [0]
+    out = tmp_path / "st.mhr"
+    makemhr.process_hrir_set(hset, str(out), fft_size=512, trunc_size=16)
+    st = hrtf.load_mhr(str(out))
+    assert st.coeffs.shape[2] == 2
