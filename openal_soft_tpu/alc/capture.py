@@ -289,15 +289,23 @@ def open_capture_backend(name: str | None, frequency: int,
 
     - a path to a .wav file -> that file, wall-clock paced (a deterministic
       "microphone" for tests and offline runs);
-    - otherwise ALSA record on the named PCM (default: the alsa/capture
-      config key or "default") when libasound is present;
+    - otherwise PulseAudio record (the pulse/source config key) when
+      libpulse-simple is present, then ALSA record on the named PCM
+      (default: the alsa/capture config key or "default");
     - else a silent paced stream so capture-structured apps still run.
     """
     from . import alsa as alsa_mod
     from . import config as alconf
+    from . import pulse as pulse_mod
 
     if name and name.endswith(".wav"):
         return WavCaptureBackend(name, paced=True, loop=True)
+    if pulse_mod.available():
+        try:
+            src = name or alconf.config_value_str("pulse", "source") or None
+            return pulse_mod.PulseCaptureBackend(src, frequency, channels)
+        except RuntimeError:
+            pass
     if alsa_mod.capture_available():
         pcm = (name or alconf.config_value_str("alsa", "capture")
                or "default")

@@ -65,6 +65,7 @@ _TYPES = {
 }
 
 ALSA_DEVICE_NAME = "ALSA Default"
+PULSE_DEVICE_NAME = "PulseAudio Default"
 NULL_DEVICE_NAME = "Null Output"
 WAVE_DEVICE_NAME = "Wave File Writer"
 
@@ -77,9 +78,11 @@ class DeviceState(enum.Enum):
 
 def enumerate_devices() -> list[str]:
     """ALC_ALL_DEVICES_SPECIFIER-style playback device list."""
-    from . import alsa
+    from . import alsa, pulse
 
     names = []
+    if pulse.available():
+        names.append(PULSE_DEVICE_NAME)
     if alsa.available():
         names.append(ALSA_DEVICE_NAME)
     names.append(NULL_DEVICE_NAME)
@@ -124,16 +127,20 @@ class PlaybackDevice:
 
     @staticmethod
     def _route_name(name: str | None) -> str:
-        from . import alsa
+        from . import alsa, pulse
 
         if name in (None, ""):
             # Priority walk (BackendList, alc/alc.cpp:234-288): first
             # factory whose library/device opens wins; wave and null never
-            # win the default unless configured.
+            # win the default unless configured.  PulseAudio outranks raw
+            # ALSA like the reference's default order (pipewire/pulse
+            # before alsa).
             drivers = alconf.config_value_str("", "drivers")
             order = ([d.strip() for d in drivers.split(",") if d.strip()]
-                     if drivers else ["alsa", "null"])
+                     if drivers else ["pulse", "alsa", "null"])
             for d in order:
+                if d in ("pulse", "pulseaudio") and pulse.available():
+                    return PULSE_DEVICE_NAME
                 if d == "alsa" and alsa.available():
                     return ALSA_DEVICE_NAME
                 if d == "null":
@@ -141,7 +148,8 @@ class PlaybackDevice:
                 if d == "wave" and alconf.config_value_str("wave", "file"):
                     return WAVE_DEVICE_NAME
             return NULL_DEVICE_NAME
-        if name in (ALSA_DEVICE_NAME, NULL_DEVICE_NAME, WAVE_DEVICE_NAME):
+        if name in (PULSE_DEVICE_NAME, ALSA_DEVICE_NAME, NULL_DEVICE_NAME,
+                    WAVE_DEVICE_NAME):
             return name
         raise ValueError(f"no audio device matching '{name}'")
 
@@ -204,7 +212,11 @@ class PlaybackDevice:
         from . import alsa
         from .backends import NullBackend, WaveBackend
 
-        if self.name == ALSA_DEVICE_NAME:
+        if self.name == PULSE_DEVICE_NAME:
+            from . import pulse
+            sink = alconf.config_value_str("pulse", "sink") or None
+            self.backend = pulse.PulseBackend(self.render, sink)
+        elif self.name == ALSA_DEVICE_NAME:
             pcm = alconf.config_value_str("alsa", "device") or "default"
             self.backend = alsa.AlsaBackend(self.render, pcm)
         elif self.name == WAVE_DEVICE_NAME:

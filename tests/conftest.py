@@ -53,7 +53,7 @@ _FAST_MODULES = {
     "test_bs2b", "test_nfc", "test_output_stage", "test_error_events",
     "test_al_api", "test_debug_ext", "test_eax", "test_hrtf_loader",
     "test_makemhr", "test_native_shim", "test_callback_buffer",
-    "test_config_keys", "test_state_carry_fast",
+    "test_config_keys", "test_state_carry_fast", "test_pulse",
 }
 
 
